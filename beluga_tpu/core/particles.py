@@ -1,0 +1,101 @@
+"""Dense particle storage: the TPU analog of the reference's TupleVector.
+
+The reference stores particles in a structure-of-arrays container
+(``beluga/containers/tuple_vector.hpp:50``) and adapts the particle *count*
+with KLD sampling.  On TPU we keep the same SoA layout as dense ``jnp``
+arrays with a **static capacity** ``N`` and a dynamic *active count*:
+particles with index ``>= active`` are dead padding.  Shapes never change
+under ``jit``; only the mask does.
+
+Slot invariant: alive particles are always the contiguous prefix ``[0,
+active)`` — resampling writes its survivors in order, so the invariant is
+maintained by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Log-weight value used for dead slots. Finite (not -inf) so that masked
+# arithmetic never produces NaNs; consumers must still mask explicitly.
+DEAD_LOG_WEIGHT = -1e30
+
+
+def _dc(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_dc
+class ParticleSet:
+    """A set of weighted particles with static capacity.
+
+    Attributes:
+      state: arbitrary pytree whose leaves have leading dimension ``N``
+        (e.g. an ``SE2`` with ``xy: f32[N, 2]``, or a bare ``f32[N]`` for the
+        1D tutorial filter).
+      log_weight: ``f32[N]`` unnormalized log-weights. Dead slots hold
+        ``DEAD_LOG_WEIGHT``.
+      active: scalar ``i32`` — number of alive particles (prefix).
+    """
+
+    state: Any
+    log_weight: Array
+    active: Array
+
+    @property
+    def capacity(self) -> int:
+        return self.log_weight.shape[-1]
+
+    @property
+    def mask(self) -> Array:
+        """``bool[N]`` alive mask."""
+        return jnp.arange(self.capacity) < self.active
+
+    @property
+    def weight(self) -> Array:
+        """Linear weights, zero on dead slots."""
+        return jnp.where(self.mask, jnp.exp(self.log_weight), 0.0)
+
+    def replace(self, **kw) -> "ParticleSet":
+        return dataclasses.replace(self, **kw)
+
+
+def make_from_states(states: Any, capacity: int | None = None, active=None) -> ParticleSet:
+    """Build a particle set with unit weights from a pytree of states.
+
+    Mirrors ``beluga::make_from_state`` (type_traits/particle_traits.hpp:96):
+    a particle constructed from a state has weight 1 (log-weight 0).
+    """
+    n = jax.tree_util.tree_leaves(states)[0].shape[0]
+    if capacity is None:
+        capacity = n
+    if capacity != n:
+        raise ValueError(f"states have leading dim {n}, expected capacity {capacity}")
+    if active is None:
+        active = jnp.asarray(n, jnp.int32)
+    active = jnp.asarray(active, jnp.int32)
+    log_w = jnp.where(jnp.arange(capacity) < active, 0.0, DEAD_LOG_WEIGHT).astype(jnp.float32)
+    return ParticleSet(state=states, log_weight=log_w, active=active)
+
+
+def tree_take(states: Any, indices: Array) -> Any:
+    """Gather ``states[indices]`` across every leaf of a state pytree."""
+    return jax.tree_util.tree_map(lambda leaf: jnp.take(leaf, indices, axis=0), states)
+
+
+def tree_where(mask: Array, a: Any, b: Any) -> Any:
+    """Elementwise select between two state pytrees; mask has shape [N]."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)

@@ -1,0 +1,84 @@
+"""State-sampling distributions (initialization & recovery injection).
+
+TPU analogs of the reference's distribution objects:
+  * ``MultivariateNormalDistribution`` over SE2 / SE3
+    (random/multivariate_normal_distribution.hpp:138) — used for pose
+    initialization with covariance and for NDT-node recovery states.
+  * ``MultivariateUniformDistribution`` over an axis-aligned box and over the
+    free cells of an occupancy grid
+    (random/multivariate_uniform_distribution.hpp:44,81,127) — the latter is
+    the AMCL global-localization / recovery-particle source.
+
+Each sampler is a pure function ``(key, n) -> states`` so it can be called
+inside jit and vmapped over filter batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from beluga_tpu.lie import SE2, SE3, SO2, SO3
+
+Array = jax.Array
+
+
+def _sqrt_psd(cov: Array) -> Array:
+    """Symmetric PSD square root via eigendecomposition.
+
+    The reference validates symmetry / positive semi-definiteness and builds
+    the sampling transform the same way
+    (multivariate_normal_distribution.hpp:76-90); here negative eigenvalues
+    are clamped to zero instead of throwing (jit-compatible).
+    """
+    w, v = jnp.linalg.eigh(cov)
+    w = jnp.maximum(w, 0.0)
+    return v * jnp.sqrt(w)[..., None, :]
+
+
+def sample_normal_se2(key: Array, n: int, mean: SE2, cov: Array) -> SE2:
+    """Draw n SE2 poses ~ N(mean, cov) with cov 3x3 over (x, y, theta).
+
+    Perturbations are additive in (x, y) and in yaw, matching the reference's
+    vector-space sampling for SE2 (it samples (x, y, theta) jointly and
+    reassembles the pose, multivariate_distribution_traits.hpp).
+    """
+    t = _sqrt_psd(cov.astype(jnp.float32))
+    z = jax.random.normal(key, (n, 3), jnp.float32)
+    delta = z @ t.T
+    xy = mean.xy + delta[..., :2]
+    theta = mean.theta + delta[..., 2]
+    return SE2(xy, SO2.exp(theta))
+
+
+def sample_normal_se3(key: Array, n: int, mean: SE3, cov: Array) -> SE3:
+    """Draw n SE3 poses with 6x6 cov over (x, y, z, roll, pitch, yaw)."""
+    t = _sqrt_psd(cov.astype(jnp.float32))
+    z = jax.random.normal(key, (n, 6), jnp.float32)
+    delta = z @ t.T
+    xyz = mean.xyz + delta[..., :3]
+    rot = mean.rot @ SO3.exp(delta[..., 3:])
+    return SE3(xyz, rot)
+
+
+def sample_uniform_box_se2(key: Array, n: int, lo: Array, hi: Array) -> SE2:
+    """Uniform SE2 inside an AABB with uniform heading
+    (multivariate_uniform_distribution.hpp:44-79)."""
+    k_xy, k_th = jax.random.split(key)
+    xy = jax.random.uniform(k_xy, (n, 2), jnp.float32, jnp.asarray(lo), jnp.asarray(hi))
+    return SE2(xy, SO2.sample_uniform(k_th, (n,)))
+
+
+def sample_uniform_free_cells(key: Array, n: int, free_xy: Array, num_free: Array) -> SE2:
+    """Uniform SE2 over the free cells of an occupancy grid.
+
+    ``free_xy`` is a padded ``f32[C, 2]`` array of free-cell centroid world
+    coordinates and ``num_free`` the number of valid entries (grids have a
+    static cell count, so C is the total cell count and only the prefix is
+    valid).  Mirrors multivariate_uniform_distribution.hpp:127-150: the
+    translation snaps to a free-cell centroid, the heading is uniform.
+    """
+    k_idx, k_th = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (n,), 0, jnp.maximum(num_free, 1))
+    xy = jnp.take(free_xy, idx, axis=0)
+    return SE2(xy, SO2.sample_uniform(k_th, (n,)))

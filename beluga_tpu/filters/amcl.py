@@ -1,0 +1,269 @@
+"""Adaptive Monte Carlo Localization — the full filter loop as one XLA program.
+
+TPU re-design of ``beluga::Amcl`` (algorithm/amcl_core.hpp:81-233) and
+``beluga_ros::Amcl`` (beluga_ros/src/amcl.cpp:83-126).  The reference
+composes lazy range views; here one pure function performs the whole update
+(propagate → reweight → normalize → Thrun estimate → resample gate →
+[sample | random_intersperse | KLD] → estimate) over dense particle arrays,
+with all gating under ``lax.cond`` so the step is a single compiled program.
+
+The update order, gating semantics and parity quirks follow the reference
+exactly:
+  * the on-motion policy mutates its latest-pose memory *before* the
+    force-update check (amcl_core.hpp:170, policies/on_motion.hpp:115-134);
+  * the control window only advances on updates that pass the gate
+    (amcl_core.hpp:174-175);
+  * the Thrun estimator consumes the post-normalize average weight
+    (amcl_core.hpp:177-179) — see algorithms/thrun.py;
+  * the estimator resets whenever the random-state probability was > 0 and a
+    resample fires (amcl_core.hpp:184-186);
+  * resampled particles restart with weight 1 (views/sample.hpp via
+    make_from_state, amcl_core.hpp:182);
+  * ``every_n`` counts gated-in updates and fires on multiples of
+    ``resample_interval`` (policies/every_n.hpp:48-51), optionally ANDed with
+    the ESS < N/2 drop policy (amcl_core.hpp:121-123).
+
+State is an explicit pytree → the filter nests in jit / vmap (filter fleets)
+/ shard_map (sharded mega-filters) / lax.scan (trajectory replay).
+
+Models are plugged in as pure functions over an opaque ``ctx`` pytree (maps,
+likelihood fields, …) passed through the update, so maps can be hot-swapped
+without recompilation (amcl_node.cpp:469-471).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from beluga_tpu.algorithms.estimation import estimate_se2
+from beluga_tpu.algorithms.kld import kld_active_count
+from beluga_tpu.algorithms.thrun import ThrunState, thrun_update
+from beluga_tpu.core.particles import (
+    DEAD_LOG_WEIGHT,
+    ParticleSet,
+    make_from_states,
+    tree_take,
+    tree_where,
+)
+from beluga_tpu.core.weights import effective_sample_size, normalize
+from beluga_tpu.lie import SE2
+from beluga_tpu.ops.resample import RESAMPLERS
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class AmclParams:
+    """nav2-parity filter parameters (amcl_core.hpp:34-55 +
+    beluga_ros/amcl.hpp:50-98)."""
+
+    update_min_d: float = 0.25
+    update_min_a: float = 0.2
+    resample_interval: int = 1
+    selective_resampling: bool = False
+    min_particles: int = 500
+    max_particles: int = 2000
+    alpha_slow: float = 0.001
+    alpha_fast: float = 0.1
+    kld_epsilon: float = 0.05
+    kld_z: float = 3.0
+    spatial_resolution_x: float = 0.5
+    spatial_resolution_y: float = 0.5
+    spatial_resolution_theta: float = 10.0 * 3.141592653589793 / 180.0
+    resampling: str = "multinomial"  # reference default (views/sample.hpp)
+
+
+class AmclModels(NamedTuple):
+    """Pure model functions; every function takes the opaque ``ctx`` pytree.
+
+    propagate:    (ctx, key, states, pose, prev_pose) -> states
+    log_weight:   (ctx, states, points, beam_mask) -> f32[N] log-likelihoods
+    random_state: (ctx, key, n) -> states  (recovery generator)
+    hash_state:   (params, states) -> u32[N] spatial hashes (KLD buckets)
+    estimate:     (params, particles) -> (SE2 mean, f32[3,3] cov)
+    """
+
+    propagate: Callable
+    log_weight: Callable
+    random_state: Callable
+    hash_state: Callable
+    estimate: Callable
+
+
+class AmclState(NamedTuple):
+    particles: ParticleSet
+    key: Array
+    thrun: ThrunState
+    resample_count: Array  # i32, every_n internal counter
+    motion_latest: SE2  # on_motion policy memory
+    motion_seeded: Array  # bool
+    control_prev: SE2  # 2-deep odometry rolling window (previous entry)
+    control_seeded: Array  # bool
+    force_update: Array  # bool
+
+
+class Estimate(NamedTuple):
+    pose: SE2
+    covariance: Array  # f32[3, 3]
+    valid: Array  # bool — False when the update was gated out
+
+
+def default_hash_state(params: AmclParams, states: SE2) -> Array:
+    from beluga_tpu.ops.spatial_hash import spatial_hash_se2
+
+    return spatial_hash_se2(
+        states.xy,
+        states.theta,
+        params.spatial_resolution_x,
+        params.spatial_resolution_theta,
+        res_y=params.spatial_resolution_y,
+    )
+
+
+def default_estimate(params: AmclParams, particles: ParticleSet):
+    del params
+    return estimate_se2(particles.state, particles.weight, particles.mask)
+
+
+def init_state(key: Array, states: Any, params: AmclParams) -> AmclState:
+    """Initialize the filter from max_particles pre-sampled states.
+
+    Mirrors ``Amcl::initialize`` (amcl_core.hpp:131-137): particles get
+    weight 1 and a forced update is scheduled.
+    """
+    particles = make_from_states(states)
+    assert particles.capacity == params.max_particles, (
+        f"need exactly max_particles={params.max_particles} initial states, "
+        f"got {particles.capacity}"
+    )
+    return AmclState(
+        particles=particles,
+        key=key,
+        thrun=ThrunState.init(),
+        resample_count=jnp.int32(0),
+        motion_latest=SE2.identity(),
+        motion_seeded=jnp.asarray(False),
+        control_prev=SE2.identity(),
+        control_seeded=jnp.asarray(False),
+        force_update=jnp.asarray(True),
+    )
+
+
+def reinit_particles(state: AmclState, states: Any) -> AmclState:
+    """Replace the particle set (pose re-initialization / global relocation),
+    keeping odometry memory; schedules a forced update."""
+    return state._replace(
+        particles=make_from_states(states), force_update=jnp.asarray(True)
+    )
+
+
+def _on_motion(params: AmclParams, latest: SE2, seeded: Array, pose: SE2):
+    """Stateful on_motion policy (policies/on_motion.hpp:63-76, 115-134)."""
+    delta = latest.inverse() @ pose
+    moved_now = (jnp.linalg.norm(delta.xy, axis=-1) > params.update_min_d) | (
+        jnp.abs(delta.theta) > params.update_min_a
+    )
+    moved = (~seeded) | moved_now
+    new_latest = tree_where(moved, pose, latest)
+    return moved, new_latest
+
+
+def update(
+    params: AmclParams,
+    models: AmclModels,
+    ctx: Any,
+    state: AmclState,
+    odom_pose: SE2,
+    points: Array,
+    beam_mask: Array,
+) -> tuple[AmclState, Estimate]:
+    """One filter update. Pure; jit/vmap/scan-compatible.
+
+    Args:
+      ctx: opaque map/model context pytree forwarded to model functions.
+      odom_pose: base pose in the odom frame (the control action).
+      points: ``f32[B, 2]`` measurement points in the base frame.
+      beam_mask: ``bool[B]`` validity mask for the (static-size) beam slots.
+    """
+    moved, motion_latest = _on_motion(
+        params, state.motion_latest, state.motion_seeded, odom_pose
+    )
+    state = state._replace(motion_latest=motion_latest, motion_seeded=jnp.asarray(True))
+    do_update = moved | state.force_update
+
+    def heavy(state: AmclState) -> tuple[AmclState, Estimate]:
+        key, k_prop, k_res, k_rand, k_mask = jax.random.split(state.key, 5)
+        particles = state.particles
+        mask = particles.mask
+
+        # -- control window << pose (amcl_core.hpp:174-175) -----------------
+        prev_pose = tree_where(state.control_seeded, state.control_prev, odom_pose)
+
+        # -- propagate | reweight | normalize -------------------------------
+        new_states = models.propagate(ctx, k_prop, particles.state, odom_pose, prev_pose)
+        log_lik = models.log_weight(ctx, new_states, points, beam_mask)
+        log_w = jnp.where(mask, particles.log_weight + log_lik, DEAD_LOG_WEIGHT)
+        particles = ParticleSet(new_states, log_w, particles.active)
+        particles = normalize(particles)
+
+        # -- Thrun recovery probability (post-normalize, amcl_core.hpp:179) -
+        avg_weight = 1.0 / jnp.maximum(particles.active.astype(jnp.float32), 1.0)
+        thrun, p_random = thrun_update(
+            state.thrun, params.alpha_slow, params.alpha_fast, avg_weight
+        )
+
+        # -- resample policy: every_n [&& ESS drop] -------------------------
+        resample_count = jnp.mod(state.resample_count + 1, params.resample_interval)
+        do_resample = resample_count == 0
+        if params.selective_resampling:
+            ess = effective_sample_size(particles)
+            do_resample &= ess < 0.5 * particles.active.astype(jnp.float32)
+
+        def do_resample_branch(args):
+            particles, thrun = args
+            # reset the estimator after injecting randomness
+            # (amcl_core.hpp:184-186)
+            thrun = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(p_random > 0.0, a, b), ThrunState.init(), thrun
+            )
+            m = params.max_particles
+            resampler = RESAMPLERS[params.resampling]
+            idx = resampler(k_res, particles.weight, m)
+            donors = tree_take(particles.state, idx)
+            randoms = models.random_state(ctx, k_rand, m)
+            inject = jax.random.bernoulli(k_mask, p_random, (m,))
+            candidates = tree_where(inject, randoms, donors)
+            hashes = models.hash_state(params, candidates)
+            active = kld_active_count(
+                hashes, params.min_particles, m, params.kld_epsilon, params.kld_z
+            )
+            return make_from_states(candidates, active=active), thrun
+
+        def skip_resample_branch(args):
+            return args
+
+        particles, thrun = jax.lax.cond(
+            do_resample, do_resample_branch, skip_resample_branch, (particles, thrun)
+        )
+
+        mean, cov = models.estimate(params, particles)
+        new_state = state._replace(
+            particles=particles,
+            key=key,
+            thrun=thrun,
+            resample_count=resample_count,
+            control_prev=odom_pose,
+            control_seeded=jnp.asarray(True),
+            force_update=jnp.asarray(False),
+        )
+        return new_state, Estimate(mean, cov, jnp.asarray(True))
+
+    def skip(state: AmclState) -> tuple[AmclState, Estimate]:
+        mean, cov = models.estimate(params, state.particles)
+        return state, Estimate(mean, cov, jnp.asarray(False))
+
+    return jax.lax.cond(do_update, heavy, skip, state)

@@ -1,0 +1,90 @@
+"""On-device resampling via prefix-sum + searchsorted.
+
+The reference resamples by drawing from ``std::discrete_distribution`` one
+particle at a time (views/sample.hpp:102-166) — multinomial with
+replacement, inherently sequential.  The TPU formulation is the standard
+inversion-by-CDF: normalized-weight cumulative sum, then a batch of
+positions in [0, 1) mapped through ``searchsorted`` and a gather.  All four
+classic strategies differ only in how the positions are generated:
+
+  * multinomial: u_i ~ U[0,1) iid                      (reference behavior)
+  * systematic:  u_i = (i + u) / M, one shared u
+  * stratified:  u_i = (i + u_i) / M, iid u_i
+  * residual:    floor(M w) deterministic copies + multinomial residuals
+
+Dead slots carry zero weight and are therefore never selected.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _cdf(weights: Array) -> Array:
+    c = jnp.cumsum(weights.astype(jnp.float32))
+    total = c[-1]
+    return c / jnp.maximum(total, 1e-38)
+
+
+def _select(cdf: Array, positions: Array) -> Array:
+    return jnp.clip(
+        jnp.searchsorted(cdf, positions, side="right"), 0, cdf.shape[0] - 1
+    ).astype(jnp.int32)
+
+
+def multinomial_indices(key: Array, weights: Array, num: int) -> Array:
+    """iid draws — parity with views/sample.hpp's discrete_distribution."""
+    u = jax.random.uniform(key, (num,), jnp.float32)
+    return _select(_cdf(weights), u)
+
+
+def systematic_indices(key: Array, weights: Array, num: int) -> Array:
+    u0 = jax.random.uniform(key, (), jnp.float32)
+    u = (jnp.arange(num, dtype=jnp.float32) + u0) / num
+    return _select(_cdf(weights), u)
+
+
+def stratified_indices(key: Array, weights: Array, num: int) -> Array:
+    u = (jnp.arange(num, dtype=jnp.float32) + jax.random.uniform(key, (num,), jnp.float32)) / num
+    return _select(_cdf(weights), u)
+
+
+def residual_indices(key: Array, weights: Array, num: int) -> Array:
+    """Deterministic floor(M w) copies, multinomial over the residuals.
+
+    Static shapes: every output slot j gets a donor — slots below the total
+    deterministic count R0 come from repeating particles floor(M w_i) times
+    (computed with a cumsum + searchsorted over integer counts); the rest are
+    multinomial draws over the residual weights.
+    """
+    w = weights.astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w), 1e-38)
+    counts = jnp.floor(w * num)
+    residual = w * num - counts
+    cum_counts = jnp.cumsum(counts)
+    r0 = cum_counts[-1]  # number of deterministic copies (dynamic scalar)
+
+    slots = jnp.arange(num, dtype=jnp.float32)
+    det_idx = jnp.clip(
+        jnp.searchsorted(cum_counts, slots, side="right"), 0, w.shape[0] - 1
+    ).astype(jnp.int32)
+
+    res_cdf = jnp.cumsum(residual)
+    res_cdf = res_cdf / jnp.maximum(res_cdf[-1], 1e-38)
+    u = jax.random.uniform(key, (num,), jnp.float32)
+    mult_idx = jnp.clip(
+        jnp.searchsorted(res_cdf, u, side="right"), 0, w.shape[0] - 1
+    ).astype(jnp.int32)
+
+    return jnp.where(slots < r0, det_idx, mult_idx)
+
+
+RESAMPLERS = {
+    "multinomial": multinomial_indices,
+    "systematic": systematic_indices,
+    "stratified": stratified_indices,
+    "residual": residual_indices,
+}
