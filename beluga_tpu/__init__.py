@@ -7,6 +7,10 @@ resampling, and mesh-sharded scale-out — see SURVEY.md for the full
 blueprint and the reference mapping.
 """
 
+from beluga_tpu.utils import jax_compat as _jax_compat
+
+_jax_compat.apply()
+
 from beluga_tpu.lie import SE2, SE3, SO2, SO3, to_2d, to_3d
 from beluga_tpu.core.particles import ParticleSet, make_from_states
 from beluga_tpu.filters.amcl import (

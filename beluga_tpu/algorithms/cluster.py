@@ -1,0 +1,214 @@
+"""Cluster-based SE2 estimation via parallel hill-climb label propagation.
+
+TPU re-design of ``algorithm/cluster_based_estimation.hpp``: particles are
+bucketed by spatial hash (x, y, θ at clustering resolution), per-cell
+weights are mean-normalized and percentile-capped, cells are clustered by
+climbing to their heaviest dominating neighbor, and the heaviest cluster's
+weighted mean/covariance is returned.
+
+The reference's priority-queue region growing (assign_clusters,
+cluster_based_estimation.hpp:204-246) is replaced by the equivalent fixed
+point computed in parallel:
+
+  parent(c) = argmax_{n ∈ N6(c) ∪ {c}, dominates(n, c)} (weight(n), -rank(n))
+  cluster(c) = root of the parent chain (pointer jumping, O(log N) rounds)
+
+where ``dominates(n, c)`` means weight(n) > weight(c), or equal weight with a
+better (lower) deterministic rank — the analog of the queue's
+process-heaviest-first order; equal-weight plateaus created by the
+percentile cap merge into one cluster exactly as the reference's inflated
+re-queueing makes them.  Per-cluster mean/covariance use raw-moment segment
+sums, reproducing estimation.hpp's SE2 estimate per cluster (including the
+1/(1-Σw²) correction and circular yaw variance).
+
+Single-particle clusters are excluded (cluster_based_estimation.hpp:383-390);
+when no multi-particle cluster exists the plain estimate is returned
+(cluster_based_estimation.hpp:423-426).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from beluga_tpu.algorithms.estimation import estimate_se2
+from beluga_tpu.lie import SE2, SO2
+from beluga_tpu.ops.spatial_hash import spatial_hash_se2
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterizerParams:
+    """Defaults from cluster_based_estimation.hpp:251-266."""
+
+    linear_hash_resolution: float = 0.20
+    angular_hash_resolution: float = 0.524
+    weight_cap_percentile: float = 0.90
+
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _hash_lookup(sorted_hashes: Array, valid_count: Array, queries: Array) -> Array:
+    """Map query hashes to indices into the sorted-unique-hash table (-1 if absent)."""
+    idx = jnp.searchsorted(sorted_hashes, queries)
+    idx = jnp.clip(idx, 0, sorted_hashes.shape[0] - 1)
+    found = (sorted_hashes[idx] == queries) & (idx < valid_count)
+    return jnp.where(found, idx, -1)
+
+
+def cluster_based_estimate(
+    states: SE2,
+    weights: Array,
+    mask: Array | None = None,
+    params: ClusterizerParams = ClusterizerParams(),
+):
+    """Returns ``(SE2 mean, f32[3,3] cov)`` of the heaviest particle cluster."""
+    n = weights.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    w = jnp.where(mask, weights.astype(jnp.float32), 0.0)
+
+    theta = states.theta
+    hashes = spatial_hash_se2(
+        states.xy, theta, params.linear_hash_resolution, params.angular_hash_resolution
+    )
+    hashes = jnp.where(mask, hashes, _SENTINEL)
+
+    # -- unique cells (make_cluster_map, hpp:139-158) ------------------------
+    sorted_hashes, inv = jnp.unique(
+        hashes, return_inverse=True, size=n, fill_value=_SENTINEL
+    )
+    num_cells = jnp.sum(sorted_hashes != _SENTINEL).astype(jnp.int32)
+    cell_valid = jnp.arange(n) < num_cells
+
+    cell_w = jax.ops.segment_sum(w, inv, num_segments=n)
+    cell_count = jax.ops.segment_sum(mask.astype(jnp.int32), inv, num_segments=n)
+    # representative state: first particle (input order) in each cell
+    big = jnp.int32(n)
+    rep_idx = jax.ops.segment_min(
+        jnp.where(mask, jnp.arange(n, dtype=jnp.int32), big), inv, num_segments=n
+    )
+    rep_idx = jnp.clip(rep_idx, 0, n - 1)
+
+    # -- normalize by count and cap at percentile (hpp:175-189) --------------
+    cell_w = jnp.where(cell_valid, cell_w / jnp.maximum(cell_count, 1), 0.0)
+    sortable = jnp.where(cell_valid, cell_w, jnp.inf)
+    order = jnp.sort(sortable)
+    k = (num_cells.astype(jnp.float32) * params.weight_cap_percentile).astype(jnp.int32)
+    cap = order[jnp.clip(k, 0, n - 1)]
+    cap = jnp.where(jnp.isfinite(cap), cap, jnp.inf)
+    cell_w = jnp.minimum(cell_w, cap)
+
+    # -- neighbor graph over the 6-neighborhood (hpp:279-283, 315-323) -------
+    lin, ang = params.linear_hash_resolution, params.angular_hash_resolution
+    offsets = jnp.asarray(
+        [
+            [lin, 0.0, 0.0],
+            [-lin, 0.0, 0.0],
+            [0.0, lin, 0.0],
+            [0.0, -lin, 0.0],
+            [0.0, 0.0, ang],
+            [0.0, 0.0, -ang],
+        ],
+        jnp.float32,
+    )
+    rep_states = SE2(states.xy[rep_idx], SO2(states.rot.z[rep_idx]))
+    # pose * SE2(offset_theta, offset_xy) for each of the 6 offsets
+    off_xy = offsets[None, :, :2]  # [1, 6, 2]
+    off_th = offsets[None, :, 2]
+    c, s = rep_states.rot.cos[:, None], rep_states.rot.sin[:, None]
+    nx = rep_states.x[:, None] + c * off_xy[..., 0] - s * off_xy[..., 1]
+    ny = rep_states.y[:, None] + s * off_xy[..., 0] + c * off_xy[..., 1]
+    nth = rep_states.theta[:, None] + off_th
+    neigh_hash = spatial_hash_se2(
+        jnp.stack([nx, ny], -1), SO2.exp(nth).log(), lin, ang
+    )  # u32[n, 6]
+    neigh_idx = _hash_lookup(sorted_hashes, num_cells, neigh_hash)  # [n, 6]
+
+    # -- parallel hill climb (replaces assign_clusters, hpp:204-246) ---------
+    rank = jnp.zeros(n, jnp.int32).at[jnp.argsort(-jnp.where(cell_valid, cell_w, -jnp.inf), stable=True)].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+    neigh_ok = neigh_idx >= 0
+    safe_idx = jnp.clip(neigh_idx, 0, n - 1)
+    nw = jnp.where(neigh_ok, cell_w[safe_idx], -jnp.inf)  # [n, 6]
+    nr = jnp.where(neigh_ok, rank[safe_idx], big)
+    # dominates: higher weight, or equal weight with lower rank
+    self_w, self_r = cell_w[:, None], rank[:, None]
+    dominates = (nw > self_w) | ((nw == self_w) & (nr < self_r))
+    # pick the dominating neighbor with best (weight, -rank)
+    score = jnp.where(dominates, nw.astype(jnp.float64) if False else nw, -jnp.inf)
+    # lexicographic (weight, -rank): combine via argmax over weight then rank
+    best = jnp.argmax(score - nr.astype(jnp.float32) * 1e-9, axis=1)
+    has_parent = jnp.any(dominates, axis=1)
+    parent = jnp.where(
+        has_parent, safe_idx[jnp.arange(n), best], jnp.arange(n, dtype=jnp.int32)
+    )
+    parent = jnp.where(cell_valid, parent, jnp.arange(n, dtype=jnp.int32))
+
+    # pointer jumping to the root
+    def jump(_, p):
+        return p[p]
+
+    iters = max(1, int(jnp.ceil(jnp.log2(max(n, 2)))))
+    root = jax.lax.fori_loop(0, iters, jump, parent)
+
+    # -- per-cluster estimates via raw-moment segment sums (hpp:337-399) -----
+    particle_cluster = root[inv]  # [N] cluster id = root cell index
+    seg = jnp.where(mask, particle_cluster, n - 1)  # dead -> last segment (harmless)
+
+    def ssum(v):
+        return jax.ops.segment_sum(jnp.where(mask, v, 0.0), seg, num_segments=n)
+
+    x, y = states.x, states.y
+    cz = states.rot.cos
+    sz = states.rot.sin
+    W = ssum(w)
+    Wx, Wy = ssum(w * x), ssum(w * y)
+    Wc, Ws = ssum(w * cz), ssum(w * sz)
+    Wxx, Wyy, Wxy = ssum(w * x * x), ssum(w * y * y), ssum(w * x * y)
+    W2 = ssum(w * w)
+    cnt = jax.ops.segment_sum(mask.astype(jnp.int32), seg, num_segments=n)
+
+    Wsafe = jnp.maximum(W, 1e-38)
+    mx, my = Wx / Wsafe, Wy / Wsafe
+    mc, ms = Wc / Wsafe, Ws / Wsafe
+    sq_sum = W2 / (Wsafe * Wsafe)  # sum of within-cluster normalized w^2
+    corr = jnp.maximum(1.0 - sq_sum, 1e-9)
+    cxx = (Wxx / Wsafe - mx * mx) / corr
+    cyy = (Wyy / Wsafe - my * my) / corr
+    cxy = (Wxy / Wsafe - mx * my) / corr
+    norm = jnp.sqrt(mc * mc + ms * ms)
+    yaw_var = jnp.where(norm < 1e-7, jnp.inf, -2.0 * jnp.log(jnp.maximum(norm, 1e-38)))
+
+    # choose the heaviest multi-particle cluster
+    eligible = (cnt > 1) & (jnp.arange(n) == root)  # roots only
+    any_eligible = jnp.any(eligible)
+    best_cluster = jnp.argmax(jnp.where(eligible, W, -jnp.inf))
+
+    mean = SE2(
+        jnp.stack([mx[best_cluster], my[best_cluster]]),
+        SO2(
+            jnp.stack([mc[best_cluster], ms[best_cluster]])
+            / jnp.maximum(norm[best_cluster], 1e-38)
+        ),
+    )
+    cov = jnp.zeros((3, 3), jnp.float32)
+    cov = cov.at[0, 0].set(cxx[best_cluster])
+    cov = cov.at[1, 1].set(cyy[best_cluster])
+    cov = cov.at[0, 1].set(cxy[best_cluster])
+    cov = cov.at[1, 0].set(cxy[best_cluster])
+    cov = cov.at[2, 2].set(yaw_var[best_cluster])
+
+    # fallback: plain estimate when no multi-particle cluster exists
+    fb_mean, fb_cov = estimate_se2(states, weights, mask)
+
+    pick = lambda a, b: jax.tree_util.tree_map(
+        lambda u, v: jnp.where(any_eligible, u, v), a, b
+    )
+    return pick(mean, fb_mean), pick(cov, fb_cov)

@@ -71,8 +71,12 @@ def estimate_se2(states: SE2, weights: Array, mask: Array | None = None):
     norm = jnp.linalg.norm(mean_z)
     degenerate = norm < 1e-7
     yaw_var = jnp.where(degenerate, jnp.inf, -2.0 * jnp.log(jnp.maximum(norm, 1e-38)))
+    # identity complex built from ops (not a captured constant array: traced
+    # array constants become hoisted executable parameters and jax 0.9's jit
+    # fastpath mishandles them after cond branches are traced eagerly)
+    identity_z = jnp.stack([jnp.ones_like(norm), jnp.zeros_like(norm)])
     mean_rot = SO2(
-        jnp.where(degenerate, jnp.asarray([1.0, 0.0], mean_z.dtype), mean_z / jnp.maximum(norm, 1e-38))
+        jnp.where(degenerate, identity_z, mean_z / jnp.maximum(norm, 1e-38))
     )
 
     cov = jnp.zeros((3, 3), jnp.float32)

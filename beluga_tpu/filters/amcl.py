@@ -266,4 +266,9 @@ def update(
         mean, cov = models.estimate(params, state.particles)
         return state, Estimate(mean, cov, jnp.asarray(False))
 
-    return jax.lax.cond(do_update, heavy, skip, state)
+    out = jax.lax.cond(do_update, heavy, skip, state)
+    # Barrier: without it XLA forwards input buffers (e.g. odom_pose) to
+    # several output leaves; jit then sees a *different* duplicate-buffer
+    # pattern on subsequent calls and the fastpath trips over the cached
+    # executable signature.  The barrier guarantees distinct output buffers.
+    return jax.lax.optimization_barrier(out)

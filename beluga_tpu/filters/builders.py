@@ -1,0 +1,114 @@
+"""Convenience constructors wiring models into the AMCL filter.
+
+The analog of ``beluga_ros::Amcl``'s model-variant construction
+(beluga_ros/src/amcl.cpp:28-46, beluga_amcl/src/amcl_node.cpp:350-433):
+pick a motion model and a sensor model by name, build the map context, and
+return the ``AmclModels`` function table plus the ``ctx`` pytree consumed by
+``beluga_tpu.filters.amcl.update``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from beluga_tpu.core.random import sample_uniform_free_cells
+from beluga_tpu.filters.amcl import AmclModels, AmclParams, default_estimate, default_hash_state
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OccupancyGrid
+from beluga_tpu.models.motion.differential_drive import (
+    DifferentialDriveParams,
+    diff_drive_propagate,
+)
+from beluga_tpu.models.motion.omnidirectional import (
+    OmnidirectionalDriveParams,
+    omni_drive_propagate,
+)
+from beluga_tpu.models.motion.stationary import stationary_propagate
+from beluga_tpu.models.sensor.likelihood_field import (
+    LikelihoodFieldParams,
+    likelihood_field_prob_weights,
+    likelihood_field_weights,
+    make_likelihood_field,
+)
+
+Array = jax.Array
+
+
+def make_motion_fn(motion_params):
+    """Map a motion-params dataclass to its propagate function."""
+    if isinstance(motion_params, DifferentialDriveParams):
+        def propagate(ctx, key, states, pose, prev):
+            del ctx
+            return diff_drive_propagate(motion_params, key, states, pose, prev)
+    elif isinstance(motion_params, OmnidirectionalDriveParams):
+        def propagate(ctx, key, states, pose, prev):
+            del ctx
+            return omni_drive_propagate(motion_params, key, states, pose, prev)
+    elif motion_params == "stationary":
+        def propagate(ctx, key, states, pose, prev):
+            del ctx, pose, prev
+            return stationary_propagate(key, states)
+    else:
+        raise ValueError(f"unknown motion model: {motion_params!r}")
+    return propagate
+
+
+def make_grid_random_state_fn():
+    """Recovery generator: uniform over the free cells of ctx['grid']
+    (beluga_ros/amcl.hpp map_distribution_)."""
+
+    def random_state(ctx, key, n):
+        grid: OccupancyGrid = ctx["grid"]
+        return sample_uniform_free_cells(key, n, grid.free_xy, grid.num_free)
+
+    return random_state
+
+
+def make_likelihood_field_filter(
+    grid: OccupancyGrid,
+    lf_params: LikelihoodFieldParams = LikelihoodFieldParams(),
+    motion_params: Any = DifferentialDriveParams(),
+    prob_model: bool = False,
+    use_cluster_estimate: bool = False,
+):
+    """Assemble the likelihood-field AMCL configuration.
+
+    Returns ``(models, ctx)``.  ``ctx = {'grid', 'field'}`` — rebuilding the
+    ctx with :func:`update_map_ctx` hot-swaps the map without recompiling.
+    """
+
+    if prob_model:
+        def log_weight(ctx, states, points, beam_mask):
+            return likelihood_field_prob_weights(ctx["field"], states, points, beam_mask)
+    else:
+        def log_weight(ctx, states, points, beam_mask):
+            lik = likelihood_field_weights(ctx["field"], states, points, beam_mask)
+            return jnp.log(lik)
+
+    if use_cluster_estimate:
+        from beluga_tpu.algorithms.cluster import cluster_based_estimate
+
+        def estimate(params, particles):
+            return cluster_based_estimate(particles.state, particles.weight, particles.mask)
+    else:
+        estimate = default_estimate
+
+    models = AmclModels(
+        propagate=make_motion_fn(motion_params),
+        log_weight=log_weight,
+        random_state=make_grid_random_state_fn(),
+        hash_state=default_hash_state,
+        estimate=estimate,
+    )
+    ctx = {"grid": grid, "field": make_likelihood_field(lf_params, grid)}
+    return models, ctx
+
+
+def update_map_ctx(ctx: dict, grid: OccupancyGrid, lf_params: LikelihoodFieldParams) -> dict:
+    """Hot-swap the map (amcl_node.cpp:469-471): recompute the likelihood
+    field, keep everything else."""
+    return {**ctx, "grid": grid, "field": make_likelihood_field(lf_params, grid)}

@@ -96,7 +96,11 @@ def make_likelihood_field(params: LikelihoodFieldParams, grid: OccupancyGrid) ->
     values = (amplitude * jnp.exp(-d2 / two_squared_sigma) + offset).astype(jnp.float32)
     return LikelihoodField(
         values=values,
-        resolution=grid.resolution,
+        # own buffer, not the grid's array object: passing the same jax.Array
+        # twice in one jitted call interacts badly with argument pruning in
+        # jax 0.9's jit fastpath (duplicate-argument dedup is inconsistent
+        # between the first and subsequent calls)
+        resolution=jnp.asarray(grid.resolution) * 1.0,
         world_to_field=grid.origin.inverse(),
         unknown_prob=jnp.float32(1.0 / params.max_laser_distance),
     )

@@ -18,13 +18,15 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_FIB32 = jnp.uint32(2654435769)  # 2^32 / golden ratio
+# 2^32 / golden ratio; kept as a python int so it traces as an inline
+# literal, never as a hoisted jaxpr constant (see utils/jax_compat.py)
+_FIB32 = 2654435769
 
 
 def _floor_fibo_hash(value: Array, bits: int, index: int) -> Array:
     """floor → fibonacci spread → rotate left by ``bits * index`` (32-bit)."""
     v = jnp.floor(value).astype(jnp.int32).astype(jnp.uint32)
-    h = v * _FIB32
+    h = v * jnp.uint32(_FIB32)
     shift = (bits * index) % 32
     if shift == 0:
         return h

@@ -1,0 +1,211 @@
+"""Filter-loop tests (tier 2) — the analog of test_amcl_core.cpp:73-186.
+
+Drives the full AMCL update end-to-end on a synthetic 2D world with the
+likelihood-field sensor model and differential-drive motion.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beluga_tpu.core.random import sample_normal_se2, sample_uniform_free_cells
+from beluga_tpu.filters.amcl import AmclParams, init_state, update
+from beluga_tpu.filters.builders import make_likelihood_field_filter
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+
+
+def make_world():
+    """10x10 m room with walls and a few pillars, 0.1 m resolution."""
+    data = np.zeros((100, 100), np.int8)
+    data[0, :] = data[-1, :] = OCCUPIED_VALUE
+    data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[30:35, 30:35] = OCCUPIED_VALUE
+    data[60:65, 20:25] = OCCUPIED_VALUE
+    data[20:25, 70:75] = OCCUPIED_VALUE
+    data[70:78, 60:68] = OCCUPIED_VALUE
+    return make_grid(data, 0.1)
+
+
+def simulate_scan(grid_np, resolution, pose_xytheta, num_beams=40, max_range=5.0):
+    """Host-side exact raycast used as measurement oracle for tests."""
+    x, y, theta = pose_xytheta
+    angles = np.linspace(-np.pi, np.pi, num_beams, endpoint=False)
+    points = []
+    for a in angles:
+        direction = np.array([np.cos(theta + a), np.sin(theta + a)])
+        r = None
+        for t in np.arange(0.0, max_range, resolution * 0.25):
+            p = np.array([x, y]) + t * direction
+            ci = np.floor(p / resolution).astype(int)
+            if not (0 <= ci[0] < grid_np.shape[1] and 0 <= ci[1] < grid_np.shape[0]):
+                break
+            if grid_np[ci[1], ci[0]] == OCCUPIED_VALUE:
+                r = t
+                break
+        if r is not None:
+            # sensor point in the base frame
+            points.append([r * np.cos(a), r * np.sin(a)])
+    pts = np.zeros((num_beams, 2), np.float32)
+    mask = np.zeros(num_beams, bool)
+    pts[: len(points)] = points
+    mask[: len(points)] = True
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+@pytest.fixture(scope="module")
+def world():
+    grid = make_world()
+    models, ctx = make_likelihood_field_filter(grid)
+    return grid, models, ctx
+
+
+def make_filter(world, params, key=0, pose=(5.0, 5.0, 0.0), cov_scale=0.25):
+    grid, models, ctx = world
+    k_init, k_state = jax.random.split(jax.random.PRNGKey(key))
+    states = sample_normal_se2(
+        k_init,
+        params.max_particles,
+        SE2.from_xytheta(*pose),
+        jnp.eye(3) * cov_scale,
+    )
+    return init_state(k_state, states, params), models, ctx
+
+
+class TestAmclFilter:
+    def test_initialize_full_capacity(self, world):
+        params = AmclParams(max_particles=1000)
+        state, _, _ = make_filter(world, params)
+        assert int(state.particles.active) == 1000
+        np.testing.assert_allclose(state.particles.weight, 1.0)
+
+    def test_first_update_forced(self, world):
+        # initialize() schedules a forced update (amcl_core.hpp:136)
+        grid, _ = world[0], world[1]
+        params = AmclParams(max_particles=500, min_particles=100)
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        new_state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        assert bool(est.valid)
+
+    def test_motion_gating(self, world):
+        grid = world[0]
+        params = AmclParams(max_particles=500, min_particles=100)
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        # first update passes (forced)
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        assert bool(est.valid)
+        # same pose again: below min_d/min_a -> gated out
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        assert not bool(est.valid)
+        # move far enough -> passes
+        state, est = update(
+            params, models, ctx, state, SE2.from_xytheta(0.3, 0.0, 0.0), pts, mask
+        )
+        assert bool(est.valid)
+
+    def test_force_update_flag(self, world):
+        grid = world[0]
+        params = AmclParams(max_particles=500, min_particles=100)
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        state, _ = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        state = state._replace(force_update=jnp.asarray(True))
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        assert bool(est.valid)
+
+    def test_particle_count_bounds(self, world):
+        grid = world[0]
+        params = AmclParams(max_particles=800, min_particles=150)
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        pose = SE2.identity()
+        for i in range(8):
+            pose = SE2.from_xytheta(0.3 * (i + 1), 0.0, 0.0)
+            true_pose = (5.0 + 0.3 * (i + 1), 5.0, 0.0)
+            pts, mask = simulate_scan(np.asarray(grid.data), 0.1, true_pose)
+            state, est = update(params, models, ctx, state, pose, pts, mask)
+            n = int(state.particles.active)
+            assert 150 <= n <= 800
+
+    def test_convergence_toward_truth(self, world):
+        grid = world[0]
+        params = AmclParams(max_particles=2000, min_particles=300)
+        state, models, ctx = make_filter(world, params, cov_scale=0.5)
+        pose_list = [(5.0 + 0.3 * i, 5.0, 0.0) for i in range(12)]
+        est = None
+        for i, true_pose in enumerate(pose_list):
+            odom = SE2.from_xytheta(0.3 * i, 0.0, 0.0)
+            pts, mask = simulate_scan(np.asarray(grid.data), 0.1, true_pose, num_beams=60)
+            state, est = update(params, models, ctx, state, odom, pts, mask)
+        err = np.hypot(float(est.pose.x) - pose_list[-1][0], float(est.pose.y) - pose_list[-1][1])
+        assert err < 0.3, f"converged estimate off by {err:.3f} m"
+        assert abs(float(est.pose.theta)) < 0.2
+
+    def test_no_nans_with_aggressive_recovery(self, world):
+        # analog of test_amcl_core.cpp:172-186 (alpha_fast >> 1 forces the
+        # random-particle injection path)
+        grid = world[0]
+        params = AmclParams(
+            max_particles=400, min_particles=100, alpha_slow=0.0, alpha_fast=100.0
+        )
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        for _ in range(10):
+            state = state._replace(force_update=jnp.asarray(True))
+            state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+            assert np.isfinite(np.asarray(est.pose.xy)).all()
+            assert np.isfinite(np.asarray(state.particles.log_weight)).all()
+            assert 100 <= int(state.particles.active) <= 400
+
+    def test_selective_resampling(self, world):
+        grid = world[0]
+        params = AmclParams(
+            max_particles=400, min_particles=100, selective_resampling=True
+        )
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        # after first update weights are near-uniform -> ESS high -> no
+        # resample -> particle count stays at capacity
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        assert bool(est.valid)
+        assert int(state.particles.active) == 400
+
+    def test_update_is_jittable(self, world):
+        grid, models, ctx = world
+        params = AmclParams(max_particles=500, min_particles=100)
+        state, _, _ = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+
+        # ctx is a jit *argument* (not a closure capture): closure-captured
+        # multi-MB arrays get lifted to executable parameters by XLA and can
+        # hit stale fastpath caches; passing the map context explicitly is
+        # also what enables hot-swapping maps without recompilation.
+        jitted = jax.jit(
+            lambda c, s, o, p, m: update(params, models, c, s, o, p, m)
+        )
+        s1, e1 = jitted(ctx, state, SE2.identity(), pts, mask)
+        s2, e2 = jitted(ctx, s1, SE2.from_xytheta(0.5, 0.0, 0.0), pts, mask)
+        assert bool(e1.valid) and bool(e2.valid)
+
+    def test_resample_interval(self, world):
+        grid = world[0]
+        params = AmclParams(
+            max_particles=400, min_particles=50, resample_interval=3
+        )
+        state, models, ctx = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        # updates 1 and 2 must not resample (counter 1, 2), update 3 fires
+        for i in range(2):
+            state = state._replace(force_update=jnp.asarray(True))
+            state, _ = update(params, models, ctx, state, SE2.identity(), pts, mask)
+            assert int(state.particles.active) == 400  # unchanged capacity
+            # weights are normalized but not reset to 1 -> no resample signature
+        state = state._replace(force_update=jnp.asarray(True))
+        state, _ = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        # after the 3rd update the resample fired: weights reset to uniform 1
+        active = int(state.particles.active)
+        w = np.asarray(state.particles.weight[:active])
+        np.testing.assert_allclose(w, 1.0)
