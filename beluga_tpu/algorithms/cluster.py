@@ -155,7 +155,7 @@ def cluster_based_estimate(
     def jump(_, p):
         return p[p]
 
-    iters = max(1, int(jnp.ceil(jnp.log2(max(n, 2)))))
+    iters = max(1, (max(n, 2) - 1).bit_length())
     root = jax.lax.fori_loop(0, iters, jump, parent)
 
     # -- per-cluster estimates via raw-moment segment sums (hpp:337-399) -----

@@ -41,6 +41,7 @@ def beam_weights(
     states: SE2,
     points: Array,
     beam_mask: Array,
+    resolution_hint: float | None = None,
 ) -> Array:
     """AMCL-parity weights ``Σ_beams pz³`` per particle, ``f32[N]``.
 
@@ -61,7 +62,9 @@ def beam_weights(
     dy = sin_l * bearing[None, :, 0] + cos_l * bearing[None, :, 1]
     direction = jnp.stack([dx, dy], axis=-1)  # [N, B, 2]
 
-    dist, hit = cast_rays(grid, src, direction, params.beam_max_range)
+    dist, hit = cast_rays(
+        grid, src, direction, params.beam_max_range, resolution_hint=resolution_hint
+    )
     z_mean = jnp.where(hit, dist, params.beam_max_range)  # [N, B]
 
     # 1: hit component with erf normalization (beam_model.hpp:125-130)
@@ -92,6 +95,12 @@ def beam_weights(
     return jnp.sum(jnp.where(beam_mask[None, :], pz3, 0.0), axis=-1)
 
 
-def beam_log_weights(params, grid, states, points, beam_mask) -> Array:
+def beam_log_weights(params, grid, states, points, beam_mask,
+                     resolution_hint=None) -> Array:
     """Log of :func:`beam_weights` (clamped away from zero)."""
-    return jnp.log(jnp.maximum(beam_weights(params, grid, states, points, beam_mask), 1e-30))
+    return jnp.log(
+        jnp.maximum(
+            beam_weights(params, grid, states, points, beam_mask, resolution_hint),
+            1e-30,
+        )
+    )

@@ -1,25 +1,23 @@
-"""Vectorized ray casting over an occupancy grid.
+"""Vectorized ray casting over an occupancy grid (Bresenham parity).
 
 The reference casts rays with a lazy Bresenham line iterator per
 (particle, beam) and stops at the first non-free cell
-(``algorithm/raycasting.hpp:44-115``, ``raycasting/bresenham.hpp``) —
-inherently serial per ray.  The TPU formulation marches *all* N×B rays in
-lock-step with a fixed-increment DDA inside ``lax.fori_loop``: each step is
-one fused gather over the HBM-resident grid; hit bookkeeping is a masked
-min-accumulate, so divergence costs nothing.
+(``algorithm/raycasting.hpp:44-115``, ``raycasting/bresenham.hpp:34-230``) —
+inherently serial per ray.  Here *all* N×B rays advance in lock-step inside
+a ``lax.fori_loop``: every ray carries its own Bresenham state
+``(x, y, err)``; each iteration is one fused gather over the HBM-resident
+grid plus a masked hit-accumulate, so ray divergence costs nothing on the
+VPU.  The visited-cell sequence is bit-exact with the reference's standard
+Bresenham variant, so ``cast`` distances match the C++ implementation.
 
 Semantics mirrored from the reference:
-  * distances are measured centroid-to-centroid from the source cell
-    (raycasting.hpp:97-104) and clamped to ``max_range``;
-  * rays that leave the grid without hitting an obstacle are *misses*
-    (trace is clipped to the grid, raycasting.hpp:86-87) — reported as
-    ``hit=False`` (the beam model substitutes ``beam_max_range``);
+  * the line runs from the source cell to ``cell_near(source + max_range *
+    bearing)`` (raycasting.hpp:79-87);
+  * distances are centroid-to-centroid from the source cell, clamped to
+    ``max_range`` (raycasting.hpp:97-104);
+  * rays that leave the grid or reach the far cell without hitting an
+    obstacle are misses (the beam model substitutes ``beam_max_range``);
   * a non-free source cell hits immediately at distance 0.
-
-The step size is half a cell, which visits a superset of nothing/subset of
-the Bresenham cells only at corner-cutting boundaries — within one cell of
-the reference result (verified against a host-side Bresenham oracle in
-tests).
 """
 
 from __future__ import annotations
@@ -37,58 +35,75 @@ def cast_rays(
     source_xy_local: Array,
     dir_xy_local: Array,
     max_range: float,
-    step_cells: float = 0.5,
+    resolution_hint: float | None = None,
 ):
-    """March rays through the grid.
+    """Bresenham-march rays through the grid.
 
     Args:
       grid: occupancy grid.
       source_xy_local: ``f32[..., 2]`` ray sources in grid-local coordinates.
       dir_xy_local: ``f32[..., 2]`` unit direction vectors (grid-local).
       max_range: maximum ray length in meters (static).
-      step_cells: march increment as a fraction of a cell (static).
+      resolution_hint: static meters-per-cell used to bound the iteration
+        count; defaults to the grid's (concrete) resolution.
 
     Returns:
-      (distance ``f32[...]``, hit ``bool[...]``): centroid-to-centroid
-      distance to the first non-free cell (clamped to max_range) and whether
-      anything was hit inside the grid.
+      (distance ``f32[...]``, hit ``bool[...]``).
     """
     res = grid.resolution
-    step = step_cells * res
-    num_steps = int(jnp.ceil(max_range / (step_cells * float(grid.resolution)))) + 1
+    if resolution_hint is None:
+        resolution_hint = float(jax.device_get(grid.resolution))
+    # standard Bresenham advances max(|dx|, |dy|) times; +2 for the endpoints
+    num_steps = int(-(-max_range // resolution_hint)) + 2
 
-    src_cell = grid.cell_near(source_xy_local)
-    src_centroid = grid.coordinates_at(src_cell)
-
-    free_grid = grid.free_mask  # bool[H, W]
+    free_grid = grid.free_mask
     h, w = free_grid.shape
 
-    def probe(t):
-        pos = source_xy_local + t[..., None] * dir_xy_local
-        cell = jnp.floor(pos / res).astype(jnp.int32)
-        x, y = cell[..., 0], cell[..., 1]
-        inside = (x >= 0) & (x < w) & (y >= 0) & (y < h)
-        free = free_grid[jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)]
-        centroid = (cell.astype(jnp.float32) + 0.5) * res
-        dist = jnp.linalg.norm(centroid - src_centroid, axis=-1)
-        return inside, inside & ~free, dist
+    src_cell = grid.cell_near(source_xy_local)  # i32[..., 2]
+    far = source_xy_local + max_range * dir_xy_local
+    far_cell = jnp.floor(far / res).astype(jnp.int32)
 
-    shape = source_xy_local.shape[:-1]
+    x0, y0 = src_cell[..., 0], src_cell[..., 1]
+    x1, y1 = far_cell[..., 0], far_cell[..., 1]
+    dx = jnp.abs(x1 - x0)
+    dy = jnp.abs(y1 - y0)
+    sx = jnp.where(x1 >= x0, 1, -1).astype(jnp.int32)
+    sy = jnp.where(y1 >= y0, 1, -1).astype(jnp.int32)
+
+    shape = x0.shape
     init = (
+        x0,
+        y0,
+        dx - dy,  # err
         jnp.full(shape, jnp.float32(max_range)),  # distance
         jnp.zeros(shape, bool),  # hit
-        jnp.zeros(shape, bool),  # done (hit or exited the grid)
+        jnp.zeros(shape, bool),  # done
     )
 
-    def body(i, carry):
-        dist, hit, done = carry
-        t = i * step
-        inside, blocked, d = probe(jnp.full(shape, t, jnp.float32))
-        new_hit = blocked & ~done
-        dist = jnp.where(new_hit, jnp.minimum(d, max_range), dist)
-        hit = hit | new_hit
-        done = done | new_hit | ~inside
-        return dist, hit, done
+    max_range_f = jnp.float32(max_range)
 
-    dist, hit, _ = jax.lax.fori_loop(0, num_steps, body, init)
+    def body(_, carry):
+        x, y, err, dist, hit, done = carry
+        inside = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        free = free_grid[jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)]
+        blocked = inside & ~free & ~done
+        # centroid-to-centroid distance (raycasting.hpp:100-103)
+        d = res * jnp.hypot(
+            (x - x0).astype(jnp.float32), (y - y0).astype(jnp.float32)
+        )
+        dist = jnp.where(blocked, jnp.minimum(d, max_range_f), dist)
+        hit = hit | blocked
+        at_end = (x == x1) & (y == y1)
+        done = done | blocked | ~inside | at_end
+
+        # advance (bresenham.hpp standard variant: both axes may step)
+        e2 = 2 * err
+        step_x = e2 > -dy
+        step_y = e2 < dx
+        err = err - jnp.where(step_x & ~done, dy, 0) + jnp.where(step_y & ~done, dx, 0)
+        x = x + jnp.where(step_x & ~done, sx, 0)
+        y = y + jnp.where(step_y & ~done, sy, 0)
+        return x, y, err, dist, hit, done
+
+    _, _, _, dist, hit, _ = jax.lax.fori_loop(0, num_steps, body, init)
     return dist, hit
