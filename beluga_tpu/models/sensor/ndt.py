@@ -1,0 +1,184 @@
+"""NDT (Normal Distributions Transform) sensor model, 2D and 3D.
+
+TPU re-design of ``sensor/ndt_sensor_model.hpp``: the measurement point
+cloud is clustered into per-voxel Gaussians on device (``to_cells``,
+hpp:86-111 — ≥5 points per cell, minimum variance 1e-5, truncation-based
+voxel assignment ``(p / resolution).cast<int>()``), then each particle's
+weight is ``1.0 + Σ_cells max(Σ_kernel d1·exp(-d2/2·eᵀ(Σa+Σb)⁻¹e),
+min_likelihood)`` evaluated against the sparse map with a 3×3 (2D) or
+7-cell (3D) neighbor kernel (hpp:112-147, 218-239).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beluga_tpu.lie import SE2, SE3
+from beluga_tpu.maps.ndt import NdtMap
+
+Array = jax.Array
+
+MIN_VARIANCE = 1e-5  # fit_points kMinVariance (ndt_sensor_model.hpp:67)
+MIN_POINTS_PER_CELL = 5  # to_cells kMinPointsPerCell (hpp:90)
+
+KERNEL_2D = np.array(
+    [[-1, -1], [-1, 0], [-1, 1], [0, -1], [0, 0], [0, 1], [1, -1], [1, 0], [1, 1]],
+    np.int32,
+)  # hpp:113-123
+KERNEL_3D = np.array(
+    [[0, 0, 0], [0, 0, 1], [0, 0, -1], [0, 1, 0], [0, -1, 0], [-1, 0, 0], [1, 0, 0]],
+    np.int32,
+)  # hpp:126-136
+
+
+@dataclasses.dataclass(frozen=True)
+class NdtModelParams:
+    """(ndt_sensor_model.hpp:152-164)."""
+
+    minimum_likelihood: float = 0.0
+    d1: float = 1.0
+    d2: float = 1.0
+
+
+def fit_measurement_cells(points: Array, point_mask: Array, resolution: Array):
+    """Cluster measurement points into per-voxel Gaussians on device.
+
+    Port of ``to_cells`` + ``fit_points`` (hpp:64-111).  Returns
+    ``(means f32[C, D], covs f32[C, D, D], cell_mask bool[C])`` with
+    ``C = num_points`` capacity (cells with < 5 points are masked out).
+
+    Voxel assignment uses the reference's truncation semantics
+    (``(p / resolution).cast<int>()``), not floor.
+    """
+    from beluga_tpu.maps.ndt import encode_cells
+
+    n, d = points.shape
+    voxel = jnp.trunc(points / resolution).astype(jnp.int32)
+    key = jnp.where(point_mask, encode_cells(voxel), jnp.uint32(0xFFFFFFFF))
+    uniq, inv = jnp.unique(key, return_inverse=True, size=n, fill_value=jnp.uint32(0xFFFFFFFF))
+    valid_cell = uniq != jnp.uint32(0xFFFFFFFF)
+
+    w = point_mask.astype(jnp.float32)
+    count = jax.ops.segment_sum(w, inv, num_segments=n)
+    safe = jnp.maximum(count, 1.0)
+    mean = jax.ops.segment_sum(w[:, None] * points, inv, num_segments=n) / safe[:, None]
+    centered = points - mean[inv]
+    outer = centered[:, :, None] * centered[:, None, :] * w[:, None, None]
+    # sample covariance (divides by n-1, hpp:72-74)
+    cov = jax.ops.segment_sum(outer, inv, num_segments=n) / jnp.maximum(
+        count - 1.0, 1.0
+    )[:, None, None]
+    eye = jnp.eye(d, dtype=jnp.float32)
+    diag_clamped = jnp.maximum(
+        jnp.diagonal(cov, axis1=-2, axis2=-1), MIN_VARIANCE
+    )
+    cov = cov * (1.0 - eye) + diag_clamped[..., None] * eye
+
+    cell_mask = valid_cell & (count >= MIN_POINTS_PER_CELL)
+    return mean, cov, cell_mask
+
+
+def _inv_2x2(m: Array) -> Array:
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    return jnp.stack(
+        [
+            jnp.stack([d, -b], -1),
+            jnp.stack([-c, a], -1),
+        ],
+        -2,
+    ) * inv_det[..., None, None]
+
+
+def _inv_3x3(m: Array) -> Array:
+    det = jnp.linalg.det(m)
+    adj = jnp.linalg.inv(
+        m + 1e-12 * jnp.eye(3, dtype=m.dtype)
+    )  # small jitter for numerical safety
+    del det
+    return adj
+
+
+def _kernel_likelihood(ndt_map: NdtMap, params, meas_mean, meas_cov, kernel):
+    """Σ over kernel offsets of d1·exp(-d2/2 eᵀ(Σa+Σb)⁻¹e) per query Gaussian.
+
+    meas_mean: ``f32[..., D]``; meas_cov: ``f32[..., D, D]``.
+    """
+    d = meas_mean.shape[-1]
+    center = ndt_map.cell_near(meas_mean)  # [..., D]
+    cells = center[..., None, :] + jnp.asarray(kernel)  # [..., K, D]
+    idx, found = ndt_map.lookup(cells)  # [..., K]
+    map_mean = ndt_map.means[idx]  # [..., K, D]
+    map_cov = ndt_map.covs[idx]  # [..., K, D, D]
+
+    err = meas_mean[..., None, :] - map_mean  # [..., K, D]
+    total_cov = meas_cov[..., None, :, :] + map_cov
+    inv = _inv_2x2(total_cov) if d == 2 else _inv_3x3(total_cov)
+    quad = jnp.einsum("...i,...ij,...j->...", err, inv, err)
+    lik = params.d1 * jnp.exp((-params.d2 / 2.0) * quad)
+    return jnp.sum(jnp.where(found, lik, 0.0), axis=-1)
+
+
+def ndt_weights_2d(
+    params: NdtModelParams,
+    ndt_map: NdtMap,
+    states: SE2,
+    meas_means: Array,
+    meas_covs: Array,
+    cell_mask: Array,
+) -> Array:
+    """Per-particle weights ``1.0 + Σ_cells max(kernel_lik, min_lik)``
+    (hpp:218-239); ``f32[N]``."""
+    # transform measurement cells by each particle state (ndt_cell.hpp:63-68)
+    c, s = states.rot.cos[:, None], states.rot.sin[:, None]
+    mx = meas_means[None, :, 0]
+    my = meas_means[None, :, 1]
+    tx = c * mx - s * my + states.x[:, None]
+    ty = s * mx + c * my + states.y[:, None]
+    mean_w = jnp.stack([tx, ty], -1)  # [N, C, 2]
+
+    rot = jnp.stack(
+        [jnp.stack([states.rot.cos, -states.rot.sin], -1),
+         jnp.stack([states.rot.sin, states.rot.cos], -1)],
+        -2,
+    )  # [N, 2, 2]
+    cov_w = jnp.einsum("nab,cbd,ned->ncae", rot, meas_covs, rot)  # R Σ Rᵀ [N, C, 2, 2]
+
+    lik = _kernel_likelihood(ndt_map, params, mean_w, cov_w, KERNEL_2D)  # [N, C]
+    lik = jnp.maximum(lik, params.minimum_likelihood)
+    return 1.0 + jnp.sum(jnp.where(cell_mask[None, :], lik, 0.0), axis=-1)
+
+
+def ndt_weights_3d(
+    params: NdtModelParams,
+    ndt_map: NdtMap,
+    states: SE3,
+    meas_means: Array,
+    meas_covs: Array,
+    cell_mask: Array,
+) -> Array:
+    """3D variant over SE3 states; ``f32[N]``."""
+    rot = states.rot.as_matrix()  # [N, 3, 3]
+    mean_w = (
+        jnp.einsum("nab,cb->nca", rot, meas_means) + states.xyz[:, None, :]
+    )  # [N, C, 3]
+    cov_w = jnp.einsum("nab,cbd,ned->ncae", rot, meas_covs, rot)
+
+    lik = _kernel_likelihood(ndt_map, params, mean_w, cov_w, KERNEL_3D)
+    lik = jnp.maximum(lik, params.minimum_likelihood)
+    return 1.0 + jnp.sum(jnp.where(cell_mask[None, :], lik, 0.0), axis=-1)
+
+
+def ndt_likelihood_at(params: NdtModelParams, ndt_map: NdtMap, mean: Array, cov: Array):
+    """Scalar ``likelihood_at`` for a single measurement Gaussian
+    (hpp:229-239) — used by tests for golden-value parity."""
+    d = mean.shape[-1]
+    kernel = KERNEL_2D if d == 2 else KERNEL_3D
+    lik = _kernel_likelihood(ndt_map, params, mean[None], cov[None], kernel)[0]
+    return jnp.maximum(lik, params.minimum_likelihood)

@@ -1,0 +1,126 @@
+"""Fleet batching (vmap) and mesh sharding tests on the virtual CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from beluga_tpu.core.random import sample_normal_se2
+from beluga_tpu.filters.amcl import AmclParams, init_state, update
+from beluga_tpu.filters.builders import make_likelihood_field_filter
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+from beluga_tpu.parallel.fleet import (
+    fleet_state_sharding,
+    make_fleet_update,
+    replicate,
+    shard_fleet,
+)
+
+
+def small_world():
+    data = np.zeros((60, 60), np.int8)
+    data[0, :] = data[-1, :] = OCCUPIED_VALUE
+    data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[25:30, 25:30] = OCCUPIED_VALUE
+    return make_grid(data, 0.1)
+
+
+def make_batch_state(params, batch, key=0):
+    grid = small_world()
+    models, ctx = make_likelihood_field_filter(grid)
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        states = sample_normal_se2(
+            k1, params.max_particles, SE2.from_xytheta(3.0, 3.0, 0.0), jnp.eye(3) * 0.2
+        )
+        return init_state(k2, states, params)
+
+    keys = jax.random.split(jax.random.PRNGKey(key), batch)
+    state = jax.vmap(one)(keys)
+    return grid, models, ctx, state
+
+
+def fake_scan(batch, n_beams=20):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.5, 1.5, (batch, n_beams, 2)).astype(np.float32)
+    mask = np.ones((batch, n_beams), bool)
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+class TestFleet:
+    def test_vmapped_fleet_update(self):
+        params = AmclParams(max_particles=256, min_particles=64)
+        grid, models, ctx, state = make_batch_state(params, batch=4)
+        fleet_update = make_fleet_update(params, models)
+        pts, mask = fake_scan(4)
+        odoms = SE2.identity((4,))
+        new_state, est = jax.jit(fleet_update)(ctx, state, odoms, pts, mask)
+        assert est.valid.shape == (4,)
+        assert bool(est.valid.all())
+        assert np.isfinite(np.asarray(est.pose.xy)).all()
+        assert new_state.particles.log_weight.shape == (4, 256)
+
+    def test_fleet_filters_independent(self):
+        # different PRNG keys produce different particle clouds per filter
+        params = AmclParams(max_particles=128, min_particles=32)
+        grid, models, ctx, state = make_batch_state(params, batch=3)
+        fleet_update = make_fleet_update(params, models)
+        pts, mask = fake_scan(3)
+        odoms = SE2.from_xytheta(
+            jnp.asarray([0.3, 0.0, -0.3]), jnp.zeros(3), jnp.zeros(3)
+        )
+        _, est = jax.jit(fleet_update)(ctx, state, odoms, pts, mask)
+        xs = np.asarray(est.pose.x)
+        assert len(np.unique(np.round(xs, 4))) > 1
+
+    def test_sharded_fleet_on_mesh(self):
+        devices = jax.devices()
+        assert len(devices) == 8, "conftest should provide 8 virtual devices"
+        mesh = Mesh(np.asarray(devices).reshape(2, 4), ("dp", "tp"))
+
+        params = AmclParams(max_particles=128, min_particles=32)
+        grid, models, ctx, state = make_batch_state(params, batch=2)
+        state = shard_fleet(mesh, state)
+        ctx = replicate(mesh, ctx)
+
+        fleet_update = make_fleet_update(params, models)
+        pts, mask = fake_scan(2)
+        odoms = SE2.identity((2,))
+
+        out_shardings = (
+            fleet_state_sharding(mesh, state),
+            None,
+        )
+        step = jax.jit(fleet_update, out_shardings=out_shardings)
+        new_state, est = step(ctx, state, odoms, pts, mask)
+        assert bool(est.valid.all())
+        # particle leaves really live sharded over (dp, tp)
+        lw = new_state.particles.log_weight
+        assert lw.sharding.spec == P("dp", "tp")
+        assert np.isfinite(np.asarray(est.pose.xy)).all()
+
+    def test_sharded_matches_single_device(self):
+        # same keys, same inputs: sharded execution must be numerically
+        # equivalent to unsharded execution
+        devices = jax.devices()
+        mesh = Mesh(np.asarray(devices).reshape(2, 4), ("dp", "tp"))
+        params = AmclParams(max_particles=64, min_particles=16)
+        grid, models, ctx, state = make_batch_state(params, batch=2)
+        pts, mask = fake_scan(2)
+        odoms = SE2.identity((2,))
+        fleet_update = make_fleet_update(params, models)
+
+        _, est_plain = jax.jit(fleet_update)(ctx, state, odoms, pts, mask)
+
+        sstate = shard_fleet(mesh, state)
+        sctx = replicate(mesh, ctx)
+        _, est_shard = jax.jit(fleet_update)(sctx, sstate, odoms, pts, mask)
+
+        np.testing.assert_allclose(
+            np.asarray(est_plain.pose.xy), np.asarray(est_shard.pose.xy), atol=2e-4
+        )
