@@ -1,0 +1,214 @@
+"""Stream-driven localization node (the beluga_amcl AmclNode equivalent).
+
+The reference wraps the filter in a ROS 2 lifecycle node
+(beluga_amcl/src/amcl_node.cpp): map subscription with hot-swap, laser-scan
+callbacks through TF, initial-pose handling, a global relocalization
+service and a forced no-motion update service, and map→odom correction
+broadcasting.  This module provides the same behavior as a plain Python
+object driven by explicit calls — no middleware, suitable for embedding in
+any stream/replay/serving pipeline:
+
+  * ``set_map`` — (re)build the sensor model; keeps the last estimate
+    across map swaps (amcl_node.cpp:435-497)
+  * ``set_initial_pose`` — Gaussian (re)initialization (amcl_node.cpp:682-706)
+  * ``global_localization`` — uniform over free space (amcl_node.cpp:662-667)
+  * ``request_nomotion_update`` — force an update (amcl_node.cpp:669-680)
+  * ``handle_scan`` — one filter update from (odom pose, scan points);
+    returns the pose estimate and the map→odom correction transform
+    (amcl_node.cpp:581-647)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beluga_tpu.core.random import sample_normal_se2, sample_uniform_free_cells
+from beluga_tpu.filters import amcl as amcl_filter
+from beluga_tpu.filters.builders import make_likelihood_field_filter, make_motion_fn
+from beluga_tpu.io.config import AmclNodeConfig
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OccupancyGrid
+
+
+@dataclasses.dataclass
+class ScanResult:
+    valid: bool
+    pose: np.ndarray | None  # (x, y, yaw) map-frame estimate
+    covariance: np.ndarray | None  # 3x3
+    map_to_odom: np.ndarray | None  # (x, y, yaw) correction transform
+    latency_s: float
+
+
+class AmclNode:
+    """2D AMCL node over occupancy-grid maps."""
+
+    def __init__(self, config: AmclNodeConfig | None = None, seed: int = 0):
+        self.config = config or AmclNodeConfig()
+        self.params = self.config.amcl_params()
+        self._key = jax.random.PRNGKey(seed)
+        self._models = None
+        self._ctx = None
+        self._state = None
+        self._grid: OccupancyGrid | None = None
+        self._step = None
+        self.last_known_estimate: tuple[np.ndarray, np.ndarray] | None = None
+        self._first_map_set = False
+
+    # -- map handling (amcl_node.cpp:435-497) -------------------------------
+
+    def set_map(self, grid: OccupancyGrid) -> None:
+        if self._first_map_set and self.config.first_map_only:
+            return
+        rebuild = self._models is None
+        cfg = self.config
+        if cfg.laser_model_type == "beam":
+            from beluga_tpu.filters.amcl import AmclModels, default_estimate, default_hash_state
+            from beluga_tpu.filters.builders import make_grid_random_state_fn
+            from beluga_tpu.models.sensor.beam import beam_log_weights
+
+            beam_params = cfg.beam_params()
+            res_hint = float(jax.device_get(grid.resolution))
+
+            def log_weight(ctx, states, points, beam_mask):
+                return beam_log_weights(
+                    beam_params, ctx["grid"], states, points, beam_mask,
+                    resolution_hint=res_hint,
+                )
+
+            self._models = AmclModels(
+                propagate=make_motion_fn(cfg.motion_params()),
+                log_weight=log_weight,
+                random_state=make_grid_random_state_fn(),
+                hash_state=default_hash_state,
+                estimate=default_estimate,
+            )
+            self._ctx = {"grid": grid}
+        else:
+            self._models, self._ctx = make_likelihood_field_filter(
+                grid,
+                cfg.likelihood_field_params(),
+                motion_params=cfg.motion_params(),
+                prob_model=cfg.laser_model_type == "likelihood_field_prob",
+                use_cluster_estimate=True,
+            )
+        self._grid = grid
+        self._first_map_set = True
+        if rebuild or self._step is None:
+            self._step = jax.jit(
+                functools.partial(amcl_filter.update, self.params, self._models)
+            )
+
+        # initialize / re-initialize particles (amcl_node.cpp:484-497)
+        if self.config.set_initial_pose and (
+            self._state is None or self.config.always_reset_initial_pose
+        ):
+            self.set_initial_pose(
+                self.config.initial_pose_x,
+                self.config.initial_pose_y,
+                self.config.initial_pose_yaw,
+                self.config.initial_pose_covariance(),
+            )
+        elif self.last_known_estimate is not None:
+            pose, cov = self.last_known_estimate
+            self.set_initial_pose(pose[0], pose[1], pose[2], cov)
+        elif self._state is None:
+            self.global_localization()
+
+    # -- initialization (amcl_node.cpp:662-706) -----------------------------
+
+    def set_initial_pose(self, x, y, yaw, covariance=None) -> None:
+        if covariance is None:
+            covariance = self.config.initial_pose_covariance()
+        self._key, k = jax.random.split(self._key)
+        states = sample_normal_se2(
+            k,
+            self.params.max_particles,
+            SE2.from_xytheta(float(x), float(y), float(yaw)),
+            jnp.asarray(np.asarray(covariance, np.float32)),
+        )
+        self._replace_particles(states)
+
+    def global_localization(self) -> None:
+        """Reinitialize uniformly over the map's free space."""
+        assert self._grid is not None, "set_map first"
+        self._key, k = jax.random.split(self._key)
+        states = sample_uniform_free_cells(
+            k, self.params.max_particles, self._grid.free_xy, self._grid.num_free
+        )
+        self._replace_particles(states)
+
+    def _replace_particles(self, states) -> None:
+        if self._state is None:
+            self._key, k = jax.random.split(self._key)
+            self._state = amcl_filter.init_state(k, states, self.params)
+        else:
+            self._state = amcl_filter.reinit_particles(self._state, states)
+
+    def request_nomotion_update(self) -> None:
+        """Force the next update even without motion (amcl_node.cpp:669-680)."""
+        if self._state is not None:
+            self._state = self._state._replace(force_update=jnp.asarray(True))
+
+    # -- scan handling (amcl_node.cpp:581-647) ------------------------------
+
+    def handle_scan(self, odom_pose_xytheta, points, point_mask=None) -> ScanResult:
+        """Process one scan.
+
+        Args:
+          odom_pose_xytheta: base pose in the odom frame, (x, y, yaw).
+          points: ``f32[B, 2]`` scan points in the base frame (static beam
+            capacity; pad + mask).
+          point_mask: ``bool[B]`` valid-beam mask (default all valid).
+        """
+        assert self._state is not None, "node not initialized (set_map first)"
+        t0 = time.perf_counter()
+        odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
+        pts = jnp.asarray(points, jnp.float32)
+        mask = (
+            jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
+        )
+        self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
+        est = jax.device_get(est)
+        latency = time.perf_counter() - t0
+        if not bool(est.valid):
+            return ScanResult(False, None, None, None, latency)
+
+        pose = np.array(
+            [float(est.pose.x), float(est.pose.y), float(np.arctan2(est.pose.rot.z[1], est.pose.rot.z[0]))]
+        )
+        cov = np.asarray(est.covariance)
+        self.last_known_estimate = (pose, cov)
+
+        # map->odom correction: T_map_odom = T_map_base * T_odom_base^-1
+        # (amcl_node.cpp:624-636)
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        oc, os_ = np.cos(odom_pose_xytheta[2]), np.sin(odom_pose_xytheta[2])
+        # invert odom pose
+        inv_t = -np.array([[oc, os_], [-os_, oc]]) @ np.asarray(odom_pose_xytheta[:2])
+        inv_yaw = -odom_pose_xytheta[2]
+        mx = pose[0] + (c * inv_t[0] - s * inv_t[1])
+        my = pose[1] + (s * inv_t[0] + c * inv_t[1])
+        myaw = np.arctan2(np.sin(pose[2] + inv_yaw), np.cos(pose[2] + inv_yaw))
+        return ScanResult(True, pose, cov, np.array([mx, my, myaw]), latency)
+
+    # -- introspection (particle_cloud publishers analog) -------------------
+
+    def particle_cloud(self) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (poses [n, 3], weights [n]) of the alive particles."""
+        assert self._state is not None
+        p = self._state.particles
+        n = int(p.active)
+        xyt = np.asarray(
+            jax.device_get(
+                jnp.concatenate([p.state.xy, p.state.theta[:, None]], axis=-1)
+            )
+        )[:n]
+        w = np.asarray(jax.device_get(p.weight))[:n]
+        return xyt, w

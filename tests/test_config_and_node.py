@@ -1,0 +1,145 @@
+"""Configuration system and stream-node tests (tier-3 analog).
+
+The reference covers node behavior with rclcpp-driven tests
+(beluga_amcl/test/test_amcl_node.cpp, ~45 cases); without ROS the same
+behaviors are driven through the AmclNode object API: parameter
+validation, initial pose handling, global relocalization, no-motion
+updates, map hot-swap with estimate retention.
+"""
+
+import numpy as np
+import pytest
+
+from beluga_tpu.io.config import AmclNodeConfig, load_config
+from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+from beluga_tpu.node import AmclNode
+
+DEFAULT_YAML = "/root/reference/beluga_example/params/default.ros2.yaml"
+
+
+def small_world():
+    data = np.zeros((80, 80), np.int8)
+    data[0, :] = data[-1, :] = OCCUPIED_VALUE
+    data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[30:40, 30:40] = OCCUPIED_VALUE
+    return make_grid(data, 0.1)
+
+
+def scan_toward_wall(n=30):
+    """Fake scan: points roughly at the pillar seen from (2, 2)."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.5, 2.0, (n, 2)).astype(np.float32)
+    return pts
+
+
+class TestConfig:
+    def test_defaults_valid(self):
+        cfg = AmclNodeConfig()
+        assert cfg.amcl_params().max_particles == 2000
+
+    def test_load_reference_yaml(self):
+        cfg = load_config(DEFAULT_YAML)
+        # values straight from beluga_example/params/default.ros2.yaml
+        assert cfg.max_particles == 2000
+        assert cfg.min_particles == 500
+        assert cfg.pf_err == 0.05
+        assert cfg.pf_z == 3.0
+        assert cfg.alpha1 == 0.1
+        assert cfg.alpha2 == 0.05
+        assert cfg.laser_model_type == "likelihood_field"
+        assert cfg.robot_model_type == "nav2_amcl::DifferentialMotionModel"
+        assert cfg.update_min_d == 0.25
+
+    @pytest.mark.parametrize(
+        "field,value",
+        [
+            ("min_particles", -1),
+            ("max_particles", 0),
+            ("pf_err", -0.1),
+            ("resample_interval", 0),
+            ("sigma_hit", 0.0),
+            ("robot_model_type", "not_a_model"),
+            ("laser_model_type", "sonar"),
+            ("execution_policy", "gpu"),
+        ],
+    )
+    def test_invalid_values_rejected(self, field, value):
+        # parity with TestParameterValue/InvalidValue (test_amcl_node.cpp:750-797)
+        with pytest.raises(ValueError):
+            AmclNodeConfig(**{field: value})
+
+    def test_min_greater_than_max_rejected(self):
+        with pytest.raises(ValueError):
+            AmclNodeConfig(min_particles=3000, max_particles=2000)
+
+    def test_motion_param_mapping(self):
+        cfg = AmclNodeConfig(robot_model_type="nav2_amcl::OmniMotionModel", alpha5=0.7)
+        mp = cfg.motion_params()
+        assert mp.strafe_noise_from_translation == 0.7
+
+
+class TestNode:
+    def make_node(self, **kw):
+        cfg = AmclNodeConfig(
+            max_particles=300, min_particles=50,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+            **kw,
+        )
+        node = AmclNode(cfg)
+        node.set_map(small_world())
+        return node
+
+    def test_initializes_from_config_pose(self):
+        node = self.make_node()
+        xyt, w = node.particle_cloud()
+        assert len(xyt) == 300
+        assert abs(np.mean(xyt[:, 0]) - 2.0) < 0.3
+
+    def test_scan_produces_estimate_and_tf(self):
+        node = self.make_node()
+        res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
+        assert res.valid
+        assert res.pose is not None and np.isfinite(res.pose).all()
+        assert res.map_to_odom is not None
+        # map->odom composed with odom pose reproduces the estimate
+        mx, my, myaw = res.map_to_odom
+        ox, oy, oyaw = 0.0, 0.0, 0.0
+        x = mx + np.cos(myaw) * ox - np.sin(myaw) * oy
+        np.testing.assert_allclose(x, res.pose[0], atol=1e-5)
+
+    def test_motion_gating_in_node(self):
+        node = self.make_node()
+        r1 = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
+        assert r1.valid
+        r2 = node.handle_scan((0.01, 0.0, 0.0), scan_toward_wall())
+        assert not r2.valid  # below update_min_d
+        node.request_nomotion_update()
+        r3 = node.handle_scan((0.01, 0.0, 0.0), scan_toward_wall())
+        assert r3.valid
+
+    def test_global_localization_spreads_particles(self):
+        node = self.make_node()
+        node.global_localization()
+        xyt, _ = node.particle_cloud()
+        # spread across the whole 8x8 m world, not the 0.25 m initial blob
+        assert xyt[:, 0].std() > 1.0
+
+    def test_map_hot_swap_keeps_estimate(self):
+        # KeepCurrentEstimate analog (test_amcl_node.cpp:387-485)
+        node = self.make_node()
+        res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
+        assert res.valid
+        est_before = node.last_known_estimate[0].copy()
+        node.set_map(small_world())  # swap in a new (identical) map
+        xyt, _ = node.particle_cloud()
+        assert abs(np.mean(xyt[:, 0]) - est_before[0]) < 0.5
+
+    def test_beam_model_node(self):
+        node = self.make_node(laser_model_type="beam", laser_max_range=8.0)
+        res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
+        assert res.valid
+
+    def test_latency_reported(self):
+        node = self.make_node()
+        res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
+        assert res.latency_s > 0
