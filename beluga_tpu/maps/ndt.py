@@ -96,7 +96,7 @@ def make_ndt_map(cells, means, covs, resolution: float) -> NdtMap:
     means = np.asarray(means, np.float32)
     covs = np.asarray(covs, np.float32)
     n, d = cells.shape
-    if n == 0:  # keep one sentinel row so gathers stay well-formed
+    if n == 0:  # noqa: SIM108  # keep one sentinel row so gathers stay well-formed
         return NdtMap(
             keys=jnp.full((1,), 0xFFFFFFFF, jnp.uint32),
             means=jnp.zeros((1, d or 2), jnp.float32),
@@ -104,7 +104,19 @@ def make_ndt_map(cells, means, covs, resolution: float) -> NdtMap:
             num_cells=jnp.int32(0),
             resolution=jnp.float32(resolution),
         )
-    keys = np.asarray(jax.device_get(encode_cells(jnp.asarray(cells))), np.uint32)
+    # encode on host (map loads must not dispatch eager device ops)
+    if d == 2:
+        keys = (
+            ((cells[:, 0].astype(np.int64) + _BIAS2) << _BITS2)
+            | ((cells[:, 1].astype(np.int64) + _BIAS2) & ((1 << _BITS2) - 1))
+        ).astype(np.uint32)
+    else:
+        m = (1 << _BITS3) - 1
+        keys = (
+            (((cells[:, 0].astype(np.int64) + _BIAS3) & m) << (2 * _BITS3))
+            | (((cells[:, 1].astype(np.int64) + _BIAS3) & m) << _BITS3)
+            | ((cells[:, 2].astype(np.int64) + _BIAS3) & m)
+        ).astype(np.uint32)
     order = np.argsort(keys, kind="stable")
     return NdtMap(
         keys=jnp.asarray(keys[order]),

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from beluga_tpu.lie import SE2
+from beluga_tpu.lie import SE2, SO2
 
 Array = jax.Array
 
@@ -127,13 +127,18 @@ class OccupancyGrid:
 def make_grid(data, resolution: float, origin: SE2 | None = None) -> OccupancyGrid:
     """Construct an OccupancyGrid from an ``int8[H, W]`` array.
 
-    ``free_xy`` packing runs on host (numpy): maps load rarely and the
-    result is reused across every update.
+    Construction is pure numpy with a single device transfer at the end:
+    eager per-op dispatch is expensive on remote-compiled backends, and maps
+    load rarely while the result is reused across every update.
     """
     arr = np.asarray(data, dtype=np.int8)
     h, w = arr.shape
     if origin is None:
-        origin = SE2.identity()
+        # built via device transfers only (no eager compute ops)
+        origin = SE2(
+            jnp.asarray(np.zeros(2, np.float32)),
+            SO2(jnp.asarray(np.array([1.0, 0.0], np.float32))),
+        )
     res = jnp.float32(resolution)
 
     free = arr == FREE_VALUE
@@ -190,8 +195,11 @@ def load_pgm_yaml(yaml_path: str) -> OccupancyGrid:
     # PGM row 0 is the top of the image; grid row 0 is the bottom (ROS).
     grid = np.flipud(grid).copy()
 
-    ox, oy, oyaw = meta["origin"]
-    origin = SE2.from_xytheta(float(ox), float(oy), float(oyaw))
+    ox, oy, oyaw = (float(v) for v in meta["origin"])
+    origin = SE2(
+        jnp.asarray(np.array([ox, oy], np.float32)),
+        SO2(jnp.asarray(np.array([np.cos(oyaw), np.sin(oyaw)], np.float32))),
+    )
     return make_grid(grid, float(meta["resolution"]), origin)
 
 

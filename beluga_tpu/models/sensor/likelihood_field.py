@@ -60,11 +60,17 @@ class LikelihoodField:
     unknown_prob: Array  # f32 scalar: 1 / max_laser_distance
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def make_likelihood_field(params: LikelihoodFieldParams, grid: OccupancyGrid) -> LikelihoodField:
     """Precompute the likelihood field from an occupancy grid.
 
     Port of likelihood_field_model_base.hpp:130-185 with the Dijkstra flood
     replaced by the exact separable EDT (see ops/distance_transform.py).
+    Jitted (params static): the whole precompute is one compiled program —
+    map loads dispatch a single executable instead of hundreds of eager ops.
     """
     two_squared_sigma = 2.0 * params.sigma_hit * params.sigma_hit
     amplitude = params.z_hit / (params.sigma_hit * jnp.sqrt(2.0 * jnp.pi))

@@ -60,7 +60,7 @@ def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384):
         )
         return init_state(k2, states, params)
 
-    state = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(1), batch))
+    state = jax.jit(jax.vmap(one))(jax.random.split(jax.random.PRNGKey(1), batch))
 
     points = jnp.asarray(
         rng.uniform(-2.0, 2.0, (batch, num_beams, 2)), jnp.float32
