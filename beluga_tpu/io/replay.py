@@ -50,7 +50,7 @@ class ScanSimulator:
     def __init__(self, grid: OccupancyGrid, spec: ScanSpec = ScanSpec()):
         self.grid = grid
         self.spec = spec
-        self._res = float(jax.device_get(grid.resolution))
+        self._res = grid.resolution_hint
         self._angles = jnp.asarray(
             np.linspace(-np.pi, np.pi, spec.num_beams, endpoint=False), jnp.float32
         )
@@ -110,9 +110,9 @@ def drive_trajectory(
     """
     rng = np.random.default_rng(seed)
     data = np.asarray(grid.data)
-    res = float(jax.device_get(grid.resolution))
-    origin_xy = np.asarray(jax.device_get(grid.origin.xy))
-    origin_th = float(jax.device_get(grid.origin.theta))
+    res = grid.resolution_hint
+    ox, oy, origin_th = grid.origin_hint
+    origin_xy = np.array([ox, oy])
     c, s = np.cos(origin_th), np.sin(origin_th)
     rot_inv = np.array([[c, s], [-s, c]])
 

@@ -36,13 +36,15 @@ UNKNOWN_VALUE = -1
 OCCUPIED_VALUE = 100
 
 
-def _dc(cls):
+def _dc(cls, meta=()):
     cls = dataclasses.dataclass(frozen=True)(cls)
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    fields = [f.name for f in dataclasses.fields(cls) if f.name not in meta]
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=fields, meta_fields=list(meta)
+    )
 
 
-@_dc
+@(lambda c: _dc(c, meta=("resolution_hint", "origin_hint")))
 class OccupancyGrid:
     """Dense trinary occupancy grid in HBM.
 
@@ -54,6 +56,11 @@ class OccupancyGrid:
         packed in the prefix (padding beyond ``num_free``). Precomputed for
         uniform free-cell sampling (global localization / recovery).
       num_free: scalar ``i32`` count of valid entries in ``free_xy``.
+      resolution_hint / origin_hint: host-side static copies of the
+        resolution and origin pose. Device->host readbacks are extremely
+        expensive on remote-execution backends (and poison subsequent
+        dispatch latency), so anything host code needs is kept as pytree
+        *metadata* from construction time.
     """
 
     data: Array
@@ -61,6 +68,8 @@ class OccupancyGrid:
     origin: SE2
     free_xy: Array
     num_free: Array
+    resolution_hint: float
+    origin_hint: tuple
 
     @property
     def height(self) -> int:
@@ -124,22 +133,33 @@ class OccupancyGrid:
         return self.free_at(self.cell_near(p_local))
 
 
-def make_grid(data, resolution: float, origin: SE2 | None = None) -> OccupancyGrid:
+def make_grid(data, resolution: float, origin=None) -> OccupancyGrid:
     """Construct an OccupancyGrid from an ``int8[H, W]`` array.
 
-    Construction is pure numpy with a single device transfer at the end:
+    ``origin`` is ``None`` (identity), an ``(x, y, yaw)`` tuple of host
+    floats, or an ``SE2`` (read back once — avoid on remote backends where
+    device->host transfers are expensive).
+
+    Construction is pure numpy with device *transfers* only at the end:
     eager per-op dispatch is expensive on remote-compiled backends, and maps
     load rarely while the result is reused across every update.
     """
     arr = np.asarray(data, dtype=np.int8)
     h, w = arr.shape
     if origin is None:
-        # built via device transfers only (no eager compute ops)
-        origin = SE2(
-            jnp.asarray(np.zeros(2, np.float32)),
-            SO2(jnp.asarray(np.array([1.0, 0.0], np.float32))),
-        )
-    res = jnp.float32(resolution)
+        ox, oy, oyaw = 0.0, 0.0, 0.0
+    elif isinstance(origin, SE2):
+        oxy = np.asarray(jax.device_get(origin.xy), np.float64)
+        oz = np.asarray(jax.device_get(origin.rot.z), np.float64)
+        ox, oy, oyaw = float(oxy[0]), float(oxy[1]), float(np.arctan2(oz[1], oz[0]))
+    else:
+        ox, oy, oyaw = (float(v) for v in origin)
+
+    oc, os_ = np.cos(oyaw), np.sin(oyaw)
+    origin_se2 = SE2(
+        jnp.asarray(np.array([ox, oy], np.float32)),
+        SO2(jnp.asarray(np.array([oc, os_], np.float32))),
+    )
 
     free = arr == FREE_VALUE
     ys, xs = np.nonzero(free)
@@ -151,18 +171,18 @@ def make_grid(data, resolution: float, origin: SE2 | None = None) -> OccupancyGr
     )
     num_free = len(ys)
     # world-frame coordinates (Frame::kGlobal in the reference)
-    oxy = np.asarray(jax.device_get(origin.xy), np.float32)
-    oc, os_ = np.asarray(jax.device_get(origin.rot.z), np.float32)
     rot = np.array([[oc, -os_], [os_, oc]], np.float32)
     world = np.zeros((h * w, 2), np.float32)
-    world[:num_free] = local @ rot.T + oxy
+    world[:num_free] = local @ rot.T + np.array([ox, oy], np.float32)
 
     return OccupancyGrid(
         data=jnp.asarray(arr),
-        resolution=res,
-        origin=origin,
+        resolution=jnp.float32(resolution),
+        origin=origin_se2,
         free_xy=jnp.asarray(world),
         num_free=jnp.int32(num_free),
+        resolution_hint=float(resolution),
+        origin_hint=(ox, oy, oyaw),
     )
 
 
@@ -196,11 +216,7 @@ def load_pgm_yaml(yaml_path: str) -> OccupancyGrid:
     grid = np.flipud(grid).copy()
 
     ox, oy, oyaw = (float(v) for v in meta["origin"])
-    origin = SE2(
-        jnp.asarray(np.array([ox, oy], np.float32)),
-        SO2(jnp.asarray(np.array([np.cos(oyaw), np.sin(oyaw)], np.float32))),
-    )
-    return make_grid(grid, float(meta["resolution"]), origin)
+    return make_grid(grid, float(meta["resolution"]), (ox, oy, oyaw))
 
 
 def _read_pgm(path: str) -> np.ndarray:

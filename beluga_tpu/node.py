@@ -74,7 +74,7 @@ class AmclNode:
             from beluga_tpu.models.sensor.beam import beam_log_weights
 
             beam_params = cfg.beam_params()
-            res_hint = float(jax.device_get(grid.resolution))
+            res_hint = grid.resolution_hint
 
             def log_weight(ctx, states, points, beam_mask):
                 return beam_log_weights(

@@ -52,7 +52,7 @@ def cast_rays(
     """
     res = grid.resolution
     if resolution_hint is None:
-        resolution_hint = float(jax.device_get(grid.resolution))
+        resolution_hint = grid.resolution_hint  # host metadata; no readback
     # standard Bresenham advances max(|dx|, |dy|) times; +2 for the endpoints
     num_steps = int(-(-max_range // resolution_hint)) + 2
 
