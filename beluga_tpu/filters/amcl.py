@@ -82,9 +82,15 @@ class AmclModels(NamedTuple):
 
     propagate:    (ctx, key, states, pose, prev_pose) -> states
     log_weight:   (ctx, states, points, beam_mask) -> f32[N] log-likelihoods
-    random_state: (ctx, key, n) -> states  (recovery generator)
+    random_state: (ctx, key, n, particles) -> states  (recovery generator;
+                  may condition on the current particle set like the
+                  estimate-based generator of the NDT nodes,
+                  amcl_core.hpp:208-214)
     hash_state:   (params, states) -> u32[N] spatial hashes (KLD buckets)
-    estimate:     (params, particles) -> (SE2 mean, f32[3,3] cov)
+    estimate:     (params, particles) -> (mean pose, covariance)
+    motion_delta: (prev_pose, pose) -> (distance, angle) for the on-motion
+                  gate; ``None`` selects the SE2 default
+                  (policies/on_motion.hpp:63-76 / SE3 variant :115-134).
     """
 
     propagate: Callable
@@ -92,6 +98,7 @@ class AmclModels(NamedTuple):
     random_state: Callable
     hash_state: Callable
     estimate: Callable
+    motion_delta: Callable | None = None
 
 
 class AmclState(NamedTuple):
@@ -129,25 +136,31 @@ def default_estimate(params: AmclParams, particles: ParticleSet):
     return estimate_se2(particles.state, particles.weight, particles.mask)
 
 
-def init_state(key: Array, states: Any, params: AmclParams) -> AmclState:
+def init_state(
+    key: Array, states: Any, params: AmclParams, odom_identity: Any | None = None
+) -> AmclState:
     """Initialize the filter from max_particles pre-sampled states.
 
     Mirrors ``Amcl::initialize`` (amcl_core.hpp:131-137): particles get
-    weight 1 and a forced update is scheduled.
+    weight 1 and a forced update is scheduled.  ``odom_identity`` sets the
+    control/odometry pose type (default SE2; pass ``SE3.identity()`` for 3D
+    filters).
     """
     particles = make_from_states(states)
     assert particles.capacity == params.max_particles, (
         f"need exactly max_particles={params.max_particles} initial states, "
         f"got {particles.capacity}"
     )
+    if odom_identity is None:
+        odom_identity = SE2.identity()
     return AmclState(
         particles=particles,
         key=key,
         thrun=ThrunState.init(),
         resample_count=jnp.int32(0),
-        motion_latest=SE2.identity(),
+        motion_latest=odom_identity,
         motion_seeded=jnp.asarray(False),
-        control_prev=SE2.identity(),
+        control_prev=odom_identity,
         control_seeded=jnp.asarray(False),
         force_update=jnp.asarray(True),
     )
@@ -161,12 +174,24 @@ def reinit_particles(state: AmclState, states: Any) -> AmclState:
     )
 
 
-def _on_motion(params: AmclParams, latest: SE2, seeded: Array, pose: SE2):
+def se2_motion_delta(prev: SE2, pose: SE2):
+    """(translation, |rotation|) of the relative motion (on_motion.hpp:63-76)."""
+    delta = prev.inverse() @ pose
+    return jnp.linalg.norm(delta.xy, axis=-1), jnp.abs(delta.theta)
+
+
+def se3_motion_delta(prev, pose):
+    """SE3 variant using the rotation angle (on_motion.hpp:115-134)."""
+    delta = prev.inverse() @ pose
+    angle = jnp.linalg.norm(delta.rot.log(), axis=-1)
+    return jnp.linalg.norm(delta.xyz, axis=-1), angle
+
+
+def _on_motion(params: AmclParams, models: "AmclModels", latest, seeded: Array, pose):
     """Stateful on_motion policy (policies/on_motion.hpp:63-76, 115-134)."""
-    delta = latest.inverse() @ pose
-    moved_now = (jnp.linalg.norm(delta.xy, axis=-1) > params.update_min_d) | (
-        jnp.abs(delta.theta) > params.update_min_a
-    )
+    delta_fn = models.motion_delta or se2_motion_delta
+    dist, angle = delta_fn(latest, pose)
+    moved_now = (dist > params.update_min_d) | (angle > params.update_min_a)
     moved = (~seeded) | moved_now
     new_latest = tree_where(moved, pose, latest)
     return moved, new_latest
@@ -190,7 +215,7 @@ def update(
       beam_mask: ``bool[B]`` validity mask for the (static-size) beam slots.
     """
     moved, motion_latest = _on_motion(
-        params, state.motion_latest, state.motion_seeded, odom_pose
+        params, models, state.motion_latest, state.motion_seeded, odom_pose
     )
     state = state._replace(motion_latest=motion_latest, motion_seeded=jnp.asarray(True))
     do_update = moved | state.force_update
@@ -234,7 +259,7 @@ def update(
             resampler = RESAMPLERS[params.resampling]
             idx = resampler(k_res, particles.weight, m)
             donors = tree_take(particles.state, idx)
-            randoms = models.random_state(ctx, k_rand, m)
+            randoms = models.random_state(ctx, k_rand, m, particles)
             inject = jax.random.bernoulli(k_mask, p_random, (m,))
             candidates = tree_where(inject, randoms, donors)
             hashes = models.hash_state(params, candidates)

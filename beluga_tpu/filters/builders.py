@@ -61,7 +61,8 @@ def make_grid_random_state_fn():
     """Recovery generator: uniform over the free cells of ctx['grid']
     (beluga_ros/amcl.hpp map_distribution_)."""
 
-    def random_state(ctx, key, n):
+    def random_state(ctx, key, n, particles=None):
+        del particles
         grid: OccupancyGrid = ctx["grid"]
         return sample_uniform_free_cells(key, n, grid.free_xy, grid.num_free)
 
