@@ -99,6 +99,56 @@ def run_config(batch, num_particles, num_beams, iters=20):
     return updates_per_s, per_step
 
 
+def bench_beam(batch=16, num_particles=1024, num_beams=40, iters=5):
+    """Secondary: beam-model reweight throughput (ray casts/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from beluga_tpu.lie import SE2
+    from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+    from beluga_tpu.models.sensor.beam import BeamModelParams, beam_log_weights
+
+    rng = np.random.default_rng(3)
+    size = 384
+    data = np.zeros((size, size), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    for _ in range(30):
+        r, c = rng.integers(10, size - 20, 2)
+        data[r : r + 6, c : c + 6] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.05)
+    params = BeamModelParams(beam_max_range=3.5)
+
+    states = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(2, 17, (batch, num_particles)), jnp.float32),
+        jnp.asarray(rng.uniform(2, 17, (batch, num_particles)), jnp.float32),
+        jnp.asarray(rng.uniform(-3, 3, (batch, num_particles)), jnp.float32),
+    )
+    points = jnp.asarray(rng.uniform(-2, 2, (batch, num_beams, 2)), jnp.float32)
+    masks = jnp.ones((batch, num_beams), bool)
+
+    f = jax.jit(
+        jax.vmap(
+            lambda g, s, p, m: beam_log_weights(
+                params, g, s, p, m, resolution_hint=grid.resolution_hint
+            ),
+            in_axes=(None, 0, 0, 0),
+        ),
+        static_argnums=(),
+    )
+    out = f(grid, states, points, masks)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(grid, states, points, masks)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    rays = batch * num_particles * num_beams
+    log(
+        f"beam model: {rays / dt:.3e} raycasts/s "
+        f"({batch}x{num_particles}x{num_beams} in {dt*1e3:.2f} ms)"
+    )
+
+
 def main():
     import jax
 
@@ -107,6 +157,11 @@ def main():
     # reference-parity latency config: 2000 particles, 60 beams, 1 filter
     ups_ref, lat_ref = run_config(batch=1, num_particles=2048, num_beams=60, iters=20)
     log(f"single filter (2048 particles, 60 beams): {lat_ref*1e3:.3f} ms/scan")
+
+    try:
+        bench_beam()
+    except Exception as e:  # noqa: BLE001
+        log(f"beam bench failed: {type(e).__name__}: {e}")
 
     # throughput configs: scale the fleet until the chip saturates
     best = 0.0
