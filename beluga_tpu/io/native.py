@@ -1,0 +1,156 @@
+"""ctypes bindings for the native host-side IO kernels (native/beluga_io.cc).
+
+The shared library is built on demand with the system compiler
+(``build_native()``); every entry point has a numpy fallback so the package
+works without a toolchain.  ``scan_to_points`` is the per-scan host hot
+path (the beluga_ros::LaserScan adapter equivalent); the PGM path feeds
+``maps.occupancy.load_pgm_yaml``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "beluga_io.cc"
+_SO = _REPO_ROOT / "native" / "_beluga_io.so"
+
+_lib = None
+_build_attempted = False
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the shared library. Returns True on success."""
+    global _build_attempted
+    _build_attempted = True
+    if _SO.exists() and not force and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    for cc in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO)],
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return False
+
+
+def _load():
+    global _lib, _build_attempted
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() and not _build_attempted:
+        build_native()
+    if not _SO.exists():
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.scan_to_points.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.take_evenly_indices.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.parse_pgm_p5.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.parse_pgm_p5.restype = ctypes.c_int64
+    lib.pgm_to_trinary.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def scan_to_points(
+    ranges, angle_min, angle_increment, min_range, max_range,
+    sensor_pose=(0.0, 0.0, 0.0),
+):
+    """LaserScan → (points f32[N, 2] in base frame, mask u8→bool[N]).
+
+    Mirrors laser_scan.hpp:59-93 + the sensor-origin transform
+    (beluga_ros/src/amcl.cpp:57-62).
+    """
+    ranges = np.ascontiguousarray(ranges, np.float32)
+    n = len(ranges)
+    sx, sy, syaw = (float(v) for v in sensor_pose)
+    lib = _load()
+    if lib is not None:
+        out = np.empty((n, 2), np.float32)
+        mask = np.empty(n, np.uint8)
+        lib.scan_to_points(
+            ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            float(angle_min), float(angle_increment), float(min_range),
+            float(max_range), sx, sy, syaw,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out, mask.astype(bool)
+    # numpy fallback
+    angles = angle_min + np.arange(n, dtype=np.float32) * angle_increment
+    ok = np.isfinite(ranges) & (ranges >= min_range) & (ranges <= max_range)
+    px = np.where(ok, ranges * np.cos(angles), 0.0)
+    py = np.where(ok, ranges * np.sin(angles), 0.0)
+    c, s = np.cos(syaw), np.sin(syaw)
+    out = np.stack([c * px - s * py + sx, s * px + c * py + sy], -1).astype(np.float32)
+    out[~ok] = 0.0
+    return out, ok
+
+
+def take_evenly_indices(n: int, k: int) -> np.ndarray:
+    """Indices of an evenly-spaced k-subsample of n slots (take_evenly.hpp)."""
+    lib = _load()
+    if lib is not None and k > 1:
+        out = np.empty(k, np.int64)
+        lib.take_evenly_indices(n, k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+    if k <= 1:
+        return np.zeros(max(k, 0), np.int64)
+    return ((n - 1) * np.arange(k, dtype=np.int64)) // (k - 1)
+
+
+def decode_pgm_trinary(
+    data: bytes, occupied_thresh=0.65, free_thresh=0.196, negate=False
+):
+    """P5 PGM bytes → ROS trinary ``int8[H, W]`` (row 0 = bottom) or None
+    if the native decoder is unavailable / the file is not binary P5."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    mv = ctypes.c_int64()
+    off = lib.parse_pgm_p5(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(mv),
+    )
+    if off < 0:
+        return None
+    out = np.empty((h.value, w.value), np.int8)
+    pixels = buf[off:]
+    lib.pgm_to_trinary(
+        pixels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w.value, h.value, mv.value,
+        float(occupied_thresh), float(free_thresh), int(bool(negate)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return out

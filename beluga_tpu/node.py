@@ -198,6 +198,37 @@ class AmclNode:
         myaw = np.arctan2(np.sin(pose[2] + inv_yaw), np.cos(pose[2] + inv_yaw))
         return ScanResult(True, pose, cov, np.array([mx, my, myaw]), latency)
 
+    def handle_laser_scan(
+        self,
+        odom_pose_xytheta,
+        ranges,
+        angle_min: float,
+        angle_increment: float,
+        range_min: float | None = None,
+        range_max: float | None = None,
+        sensor_pose=(0.0, 0.0, 0.0),
+    ) -> ScanResult:
+        """Process a raw laser scan (the sensor_msgs/LaserScan path).
+
+        Performs the native adapter work — polar→cartesian, sensor-frame
+        transform, range filtering, ``max_beams`` take-evenly decimation
+        (beluga_ros/laser_scan.hpp + amcl_node.cpp:537-551) — then runs the
+        filter update.  Beam capacity is fixed at ``config.max_beams``.
+        """
+        from beluga_tpu.io import native as _native
+
+        cfg = self.config
+        range_min = cfg.laser_min_range if range_min is None else range_min
+        range_max = (
+            min(cfg.laser_max_range, 1e9) if range_max is None else range_max
+        )
+        ranges = np.asarray(ranges, np.float32)
+        pts_full, mask_full = _native.scan_to_points(
+            ranges, angle_min, angle_increment, range_min, range_max, sensor_pose
+        )
+        idx = _native.take_evenly_indices(len(ranges), cfg.max_beams)
+        return self.handle_scan(odom_pose_xytheta, pts_full[idx], mask_full[idx])
+
     # -- introspection (particle_cloud publishers analog) -------------------
 
     def particle_cloud(self) -> tuple[np.ndarray, np.ndarray]:

@@ -143,3 +143,22 @@ class TestNode:
         node = self.make_node()
         res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
         assert res.latency_s > 0
+
+
+class TestLaserScanPath:
+    def test_handle_laser_scan(self):
+        cfg = AmclNodeConfig(
+            max_particles=200, min_particles=50, max_beams=30,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+        )
+        node = AmclNode(cfg)
+        node.set_map(small_world())
+        rng = np.random.default_rng(0)
+        ranges = rng.uniform(0.3, 3.0, 360).astype(np.float32)
+        ranges[::10] = np.nan
+        res = node.handle_laser_scan(
+            (0.0, 0.0, 0.0), ranges, angle_min=-np.pi,
+            angle_increment=2 * np.pi / 360, range_min=0.12, range_max=3.5,
+        )
+        assert res.valid
+        assert np.isfinite(res.pose).all()
