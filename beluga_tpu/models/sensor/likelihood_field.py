@@ -112,14 +112,19 @@ def make_likelihood_field(params: LikelihoodFieldParams, grid: OccupancyGrid) ->
     )
 
 
-def _field_lookup(field: LikelihoodField, states: SE2, points: Array, beam_mask: Array):
+def _field_lookup(field: LikelihoodField, states: SE2, points: Array, beam_mask: Array,
+                  lookup_mode: str = "auto"):
     """Per-(particle, beam) field values ``f32[N, B]`` plus the beam mask.
 
     Transform beam endpoints (sensor points already in the particle/base
     frame) into the field frame and gather the nearest cell's likelihood,
     falling back to ``unknown_prob`` outside the map
-    (likelihood_field_model.hpp:80-85).
+    (likelihood_field_model.hpp:80-85).  ``lookup_mode`` selects the lookup
+    implementation (see ops/gather2d.py): the MXU one-hot path lifts the
+    gather-bound reweight by ~10x on TPU.
     """
+    from beluga_tpu.ops.gather2d import table_lookup
+
     tf = field.world_to_field @ states  # SE2 [N]
     cos = tf.rot.cos[:, None]
     sin = tf.rot.sin[:, None]
@@ -131,28 +136,30 @@ def _field_lookup(field: LikelihoodField, states: SE2, points: Array, beam_mask:
     xi = jnp.floor(x / field.resolution).astype(jnp.int32)
     yi = jnp.floor(y / field.resolution).astype(jnp.int32)
     inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    vals = field.values[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    vals = table_lookup(field.values, yi, xi, mode=lookup_mode)
     pz = jnp.where(inside, vals, field.unknown_prob)
     return pz, beam_mask[None, :]
 
 
 def likelihood_field_weights(
-    field: LikelihoodField, states: SE2, points: Array, beam_mask: Array
+    field: LikelihoodField, states: SE2, points: Array, beam_mask: Array,
+    lookup_mode: str = "auto",
 ) -> Array:
     """AMCL-parity weights ``1.0 + Σ_beams pz³`` per particle ``f32[N]``.
 
     Port of likelihood_field_model.hpp:68-91 (including the pz³ / 1.0-seed
     quirks shared with nav2_amcl and QuickMCL).
     """
-    pz, m = _field_lookup(field, states, points, beam_mask)
+    pz, m = _field_lookup(field, states, points, beam_mask, lookup_mode)
     return 1.0 + jnp.sum(jnp.where(m, pz * pz * pz, 0.0), axis=-1)
 
 
 def likelihood_field_prob_weights(
-    field: LikelihoodField, states: SE2, points: Array, beam_mask: Array
+    field: LikelihoodField, states: SE2, points: Array, beam_mask: Array,
+    lookup_mode: str = "auto",
 ) -> Array:
     """Proper-probability weights ``exp(Σ log pz)``
     (likelihood_field_prob_model.hpp:68-90).  Returned in *log* space to
     avoid overflow; callers add it to log-weights directly."""
-    pz, m = _field_lookup(field, states, points, beam_mask)
+    pz, m = _field_lookup(field, states, points, beam_mask, lookup_mode)
     return jnp.sum(jnp.where(m, jnp.log(pz), 0.0), axis=-1)

@@ -1,0 +1,131 @@
+"""Fast 2D table lookup — the hot primitive of the likelihood-field model.
+
+Measured on TPU v5e (synchronous mode, see NOTES.md):
+  * XLA random gather: ~1.0e8 lookups/s (serialized scalar path);
+  * hardware ``tpu.dynamic_gather`` is vreg-local (source must fit one
+    vreg along the gather axis), so a table-sized Pallas gather kernel is
+    not expressible on this generation;
+  * the MXU *can* do lookups: a one-hot row-selector matmul costs
+    ``table_size`` MACs per query → bound ≈ 2e14 / 1.5e5 ≈ 1.4e9 lookups/s
+    for a 384² map — an order of magnitude above the gather path.
+
+Modes:
+  * ``gather``  — exact, XLA gather (reference implementation, CPU default);
+  * ``onehot``  — exact (f32 accumulation of a 0/1 selector), MXU-bound;
+  * ``lowrank`` — approximate: the table is factored as ``U @ V^T`` (SVD,
+    rank r), lookup = (onehot_y @ U) · (onehot_x @ V) at ``2·H·r`` MACs per
+    query — another ~6× over onehot at r=32, with truncation error bounded
+    by the discarded singular values (smooth likelihood fields compress
+    well). Opt-in; never used for parity tests.
+  * ``auto``    — gather on CPU / small batches, onehot on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_CHUNK = 4096  # queries per one-hot matmul block
+
+
+def _plain_lookup(table: Array, yi: Array, xi: Array) -> Array:
+    h, w = table.shape
+    return table[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+
+
+def _onehot_lookup(table: Array, yi: Array, xi: Array) -> Array:
+    """Exact lookup via MXU: rows = onehot_y @ table; out = rows · onehot_x.
+
+    The one-hot entries are exactly representable in bf16, and the f32
+    ``preferred_element_type`` accumulation selects single table entries
+    without rounding them (a 1.0·x product is exact in bf16×bf16→f32 only
+    if x fits bf16 — so the row-select pass keeps the table in f32 and
+    relies on DEFAULT precision splitting; exactness is verified by tests).
+    """
+    h, w = table.shape
+    shape = yi.shape
+    yif = jnp.clip(yi, 0, h - 1).ravel()
+    xif = jnp.clip(xi, 0, w - 1).ravel()
+    n = yif.shape[0]
+    pad = -(-n // _CHUNK) * _CHUNK - n
+    yif = jnp.pad(yif, (0, pad))
+    xif = jnp.pad(xif, (0, pad))
+
+    iota_h = jnp.arange(h, dtype=jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+
+    def body(c, _):
+        y = jax.lax.dynamic_slice(yif, (c * _CHUNK,), (_CHUNK,))
+        x = jax.lax.dynamic_slice(xif, (c * _CHUNK,), (_CHUNK,))
+        oh_y = (y[:, None] == iota_h[None, :]).astype(table.dtype)
+        rows = jax.lax.dot(
+            oh_y, table, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        sel = jnp.sum(
+            jnp.where(x[:, None] == iota_w[None, :], rows, 0.0), axis=1
+        )
+        return c + 1, sel
+
+    _, out = jax.lax.scan(body, 0, None, length=(n + pad) // _CHUNK)
+    return out.ravel()[:n].reshape(shape)
+
+
+def factorize_table(table: Array, rank: int):
+    """SVD factorization for the ``lowrank`` mode: returns (U·s, V)."""
+    u, s, vt = jnp.linalg.svd(table, full_matrices=False)
+    return (u[:, :rank] * s[None, :rank]).astype(jnp.float32), vt[:rank].T.astype(
+        jnp.float32
+    )
+
+
+def _lowrank_lookup(u: Array, v: Array, yi: Array, xi: Array) -> Array:
+    """Approximate lookup from a factored table: out = U[y] · V[x]."""
+    h, r = u.shape
+    w = v.shape[0]
+    shape = yi.shape
+    yif = jnp.clip(yi, 0, h - 1).ravel()
+    xif = jnp.clip(xi, 0, w - 1).ravel()
+    n = yif.shape[0]
+    pad = -(-n // _CHUNK) * _CHUNK - n
+    yif = jnp.pad(yif, (0, pad))
+    xif = jnp.pad(xif, (0, pad))
+    iota_h = jnp.arange(h, dtype=jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    ub = u.astype(jnp.bfloat16)
+    vb = v.astype(jnp.bfloat16)
+
+    def body(c, _):
+        y = jax.lax.dynamic_slice(yif, (c * _CHUNK,), (_CHUNK,))
+        x = jax.lax.dynamic_slice(xif, (c * _CHUNK,), (_CHUNK,))
+        oh_y = (y[:, None] == iota_h[None, :]).astype(jnp.bfloat16)
+        oh_x = (x[:, None] == iota_w[None, :]).astype(jnp.bfloat16)
+        uy = jax.lax.dot(oh_y, ub, preferred_element_type=jnp.float32)
+        vx = jax.lax.dot(oh_x, vb, preferred_element_type=jnp.float32)
+        return c + 1, jnp.sum(uy * vx, axis=-1)
+
+    _, out = jax.lax.scan(body, 0, None, length=(n + pad) // _CHUNK)
+    return out.ravel()[:n].reshape(shape)
+
+
+def table_lookup(table: Array, yi: Array, xi: Array, mode: str = "auto") -> Array:
+    """Clipped 2D lookup ``table[yi, xi]``.
+
+    mode: 'gather' | 'onehot' | 'auto'. ('lowrank' is used through
+    :func:`factorize_table` + :func:`_lowrank_lookup` by callers that hold
+    the factors.)
+    """
+    if mode == "gather":
+        return _plain_lookup(table, yi, xi)
+    if mode == "onehot":
+        return _onehot_lookup(table, yi, xi)
+    if mode != "auto":
+        raise ValueError(f"unknown lookup mode {mode!r}")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and yi.size >= 65536:
+        return _onehot_lookup(table, yi, xi)
+    return _plain_lookup(table, yi, xi)
