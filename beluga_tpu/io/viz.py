@@ -57,3 +57,34 @@ def resampled_pose_array(key, xyt: Array, weights: Array, size: int) -> Array:
     """Draw ``size`` poses with replacement by weight (PoseArray publisher)."""
     idx = multinomial_indices(key, weights, size)
     return jnp.take(xyt, idx, axis=0)
+
+
+def ndt_ellipsoids(ndt_map):
+    """NDT cells as ellipsoid marker data (beluga_ros/src/ndt_ellipsoid.cpp).
+
+    Returns ``(centers [C, D], radii [C, D], rotations [C, D, D], valid
+    [C])``: per cell, the eigendecomposition of the covariance gives the
+    principal half-axes (sqrt of eigenvalues) and orientation; cells whose
+    covariance fails to decompose cleanly are flagged invalid (the
+    reference renders those as cubes).
+    """
+    means = np.asarray(jax.device_get(ndt_map.means), np.float64)
+    covs = np.asarray(jax.device_get(ndt_map.covs), np.float64)
+    n = int(jax.device_get(ndt_map.num_cells))
+    means, covs = means[:n], covs[:n]
+    d = means.shape[1]
+    radii = np.zeros((n, d))
+    rots = np.zeros((n, d, d))
+    valid = np.zeros(n, bool)
+    for i in range(n):
+        try:
+            w, v = np.linalg.eigh(covs[i])
+            if np.all(w > 0):
+                if np.linalg.det(v) < 0:  # keep right-handed rotations
+                    v[:, 0] = -v[:, 0]
+                radii[i] = np.sqrt(w)
+                rots[i] = v
+                valid[i] = True
+        except np.linalg.LinAlgError:
+            pass
+    return means, radii, rots, valid

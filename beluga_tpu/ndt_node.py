@@ -1,0 +1,167 @@
+"""Stream-driven NDT AMCL nodes (NdtAmclNode / NdtAmclNode3D equivalents).
+
+Middleware-free counterparts of beluga_amcl/src/ndt_amcl_node.cpp and
+ndt_amcl_node_3d.cpp: HDF5 map loading, pose initialization, per-scan
+updates over 2D laser or 3D point-cloud measurements, estimate retention.
+Uses the core filter loop with plain (non-cluster) estimation and the
+estimate-based Gaussian recovery generator, like the reference NDT nodes.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beluga_tpu.core.random import sample_normal_se2, sample_normal_se3
+from beluga_tpu.filters import amcl as amcl_filter
+from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d, make_ndt_filter_3d
+from beluga_tpu.io.config import AmclNodeConfig
+from beluga_tpu.lie import SE2, SE3, SO3
+from beluga_tpu.maps.ndt import load_ndt_hdf5
+from beluga_tpu.models.sensor.ndt import NdtModelParams
+from beluga_tpu.node import ScanResult
+
+
+class NdtAmclNode:
+    """2D NDT AMCL over SE2 states; measurements are 2D point clouds."""
+
+    dim = 2
+
+    def __init__(
+        self,
+        config: AmclNodeConfig | None = None,
+        ndt_params: NdtModelParams = NdtModelParams(minimum_likelihood=1e-6),
+        seed: int = 0,
+    ):
+        self.config = config or AmclNodeConfig()
+        self.params = self.config.amcl_params()
+        self.ndt_params = ndt_params
+        self._key = jax.random.PRNGKey(seed)
+        self._models = None
+        self._ctx = None
+        self._state = None
+        self._step = None
+        self.last_known_estimate = None
+
+    def set_map_path(self, hdf5_path: str) -> None:
+        self.set_map(load_ndt_hdf5(hdf5_path))
+
+    def set_map(self, ndt_map) -> None:
+        assert ndt_map.dim == self.dim, f"expected a {self.dim}D NDT map"
+        self._models, self._ctx = self._build(ndt_map)
+        self._step = jax.jit(
+            functools.partial(amcl_filter.update, self.params, self._models)
+        )
+        if self._state is None:
+            self.set_initial_pose()
+
+    def _build(self, ndt_map):
+        return make_ndt_filter_2d(
+            ndt_map, self.ndt_params, self.config.motion_params()
+        )
+
+    # -- initialization ------------------------------------------------------
+
+    def set_initial_pose(self, x=None, y=None, yaw=None, covariance=None):
+        cfg = self.config
+        x = cfg.initial_pose_x if x is None else x
+        y = cfg.initial_pose_y if y is None else y
+        yaw = cfg.initial_pose_yaw if yaw is None else yaw
+        if covariance is None:
+            covariance = cfg.initial_pose_covariance()
+        self._key, k = jax.random.split(self._key)
+        states = sample_normal_se2(
+            k, self.params.max_particles,
+            SE2.from_xytheta(float(x), float(y), float(yaw)),
+            jnp.asarray(np.asarray(covariance, np.float32)),
+        )
+        self._replace(states, SE2.identity())
+
+    def _replace(self, states, odom_identity):
+        if self._state is None:
+            self._key, k = jax.random.split(self._key)
+            self._state = amcl_filter.init_state(
+                k, states, self.params, odom_identity=odom_identity
+            )
+        else:
+            self._state = amcl_filter.reinit_particles(self._state, states)
+
+    def request_nomotion_update(self) -> None:
+        if self._state is not None:
+            self._state = self._state._replace(force_update=jnp.asarray(True))
+
+    # -- updates -------------------------------------------------------------
+
+    def handle_point_cloud(self, odom_pose_xytheta, points, point_mask=None) -> ScanResult:
+        """One update from ``(odom pose (x, y, yaw), 2D points [P, 2])``."""
+        assert self._state is not None, "set_map first"
+        t0 = time.perf_counter()
+        odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
+        pts = jnp.asarray(points, jnp.float32)
+        mask = jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
+        self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
+        est = jax.device_get(est)
+        latency = time.perf_counter() - t0
+        if not bool(est.valid):
+            return ScanResult(False, None, None, None, latency)
+        pose = np.array(
+            [float(est.pose.x), float(est.pose.y),
+             float(np.arctan2(est.pose.rot.z[1], est.pose.rot.z[0]))]
+        )
+        cov = np.asarray(est.covariance)
+        self.last_known_estimate = (pose, cov)
+        return ScanResult(True, pose, cov, None, latency)
+
+
+class NdtAmclNode3D(NdtAmclNode):
+    """3D NDT AMCL over SE3 states (ndt_amcl_node_3d.cpp equivalent)."""
+
+    dim = 3
+
+    def _build(self, ndt_map):
+        return make_ndt_filter_3d(
+            ndt_map, self.ndt_params, self.config.motion_params()
+        )
+
+    def set_initial_pose(self, xyz=(0.0, 0.0, 0.0), rpy=(0.0, 0.0, 0.0), covariance=None):
+        if covariance is None:
+            c = np.eye(6, dtype=np.float32) * 0.25
+            c[3, 3] = c[4, 4] = c[5, 5] = 0.0685
+            covariance = c
+        roll, pitch, yaw = (jnp.asarray(v, jnp.float32) for v in rpy)
+        mean = SE3(
+            jnp.asarray(np.asarray(xyz, np.float32)),
+            SO3.from_rpy(roll, pitch, yaw),
+        )
+        self._key, k = jax.random.split(self._key)
+        states = sample_normal_se3(
+            k, self.params.max_particles, mean,
+            jnp.asarray(np.asarray(covariance, np.float32)),
+        )
+        self._replace(states, SE3.identity())
+
+    def handle_point_cloud(self, odom_pose, points, point_mask=None) -> ScanResult:
+        """One update; ``odom_pose`` is (x, y, z, roll, pitch, yaw)."""
+        assert self._state is not None, "set_map first"
+        t0 = time.perf_counter()
+        x, y, z, roll, pitch, yaw = (float(v) for v in odom_pose)
+        odom = SE3(
+            jnp.asarray(np.array([x, y, z], np.float32)),
+            SO3.from_rpy(jnp.float32(roll), jnp.float32(pitch), jnp.float32(yaw)),
+        )
+        pts = jnp.asarray(points, jnp.float32)
+        mask = jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
+        self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
+        est = jax.device_get(est)
+        latency = time.perf_counter() - t0
+        if not bool(est.valid):
+            return ScanResult(False, None, None, None, latency)
+        r, p, yw = (np.asarray(v) for v in jax.tree_util.tree_map(np.asarray, est.pose.rot.rpy()))
+        pose = np.concatenate([np.asarray(est.pose.xyz), [float(r), float(p), float(yw)]])
+        cov = np.asarray(est.covariance)
+        self.last_known_estimate = (pose, cov)
+        return ScanResult(True, pose, cov, None, latency)
