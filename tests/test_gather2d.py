@@ -106,3 +106,34 @@ def test_lf_model_modes_agree():
     w_g = likelihood_field_weights(field, states, pts, mask, lookup_mode="gather")
     w_o = likelihood_field_weights(field, states, pts, mask, lookup_mode="onehot")
     np.testing.assert_array_equal(np.asarray(w_g), np.asarray(w_o))
+
+
+def test_lowrank_filter_end_to_end():
+    """The lowrank fast path tracks as well as exact on a synthetic world."""
+    import functools
+    from beluga_tpu.core.random import sample_normal_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state, update
+    from beluga_tpu.filters.builders import make_likelihood_field_filter
+    from beluga_tpu.lie import SE2
+    from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+
+    data = np.zeros((80, 80), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[30:35, 50:55] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+    models, ctx = make_likelihood_field_filter(grid, lookup_mode="lowrank")
+    assert "field_factors" in ctx
+
+    params = AmclParams(max_particles=300, min_particles=60)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    states = sample_normal_se2(k1, 300, SE2.from_xytheta(4.0, 4.0, 0.0), jnp.eye(3) * 0.2)
+    state = init_state(k2, states, params)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, (30, 2)), jnp.float32)
+    mask = jnp.ones(30, bool)
+    for i in range(3):
+        state = state._replace(force_update=jnp.asarray(True))
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+    assert bool(est.valid)
+    assert np.isfinite(np.asarray(est.pose.xy)).all()
+    assert np.isfinite(np.asarray(state.particles.log_weight)).all()
