@@ -69,6 +69,16 @@ def sample_uniform_box_se2(key: Array, n: int, lo: Array, hi: Array) -> SE2:
     return SE2(xy, SO2.sample_uniform(k_th, (n,)))
 
 
+def sample_uniform_box_se3(key: Array, n: int, lo, hi) -> SE3:
+    """Uniform SE3 inside an AABB with uniform random orientation
+    (multivariate_uniform_distribution.hpp:81-120)."""
+    k_xyz, k_rot = jax.random.split(key)
+    xyz = jax.random.uniform(
+        k_xyz, (n, 3), jnp.float32, jnp.asarray(lo), jnp.asarray(hi)
+    )
+    return SE3(xyz, SO3.sample_uniform(k_rot, (n,)))
+
+
 def sample_uniform_free_cells(key: Array, n: int, free_xy: Array, num_free: Array) -> SE2:
     """Uniform SE2 over the free cells of an occupancy grid.
 

@@ -198,6 +198,31 @@ class AmclNode:
         myaw = np.arctan2(np.sin(pose[2] + inv_yaw), np.cos(pose[2] + inv_yaw))
         return ScanResult(True, pose, cov, np.array([mx, my, myaw]), latency)
 
+    def handle_point_cloud(
+        self,
+        odom_pose_xytheta,
+        points_xyz,
+        sensor_pose_xyzrpy=(0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+        point_mask=None,
+    ) -> ScanResult:
+        """Process a 3D point cloud through the 2D filter.
+
+        Transforms points by the sensor pose and projects onto the base
+        z=0 plane, like beluga_ros::Amcl's SparsePointCloud3 overload
+        (beluga_ros/src/amcl.cpp:66-80), then runs the filter update.
+        """
+        pts = np.asarray(points_xyz, np.float64)
+        x, y, z, roll, pitch, yaw = (float(v) for v in sensor_pose_xyzrpy)
+        cr, sr = np.cos(roll), np.sin(roll)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        transformed = pts @ (rz @ ry @ rx).T + np.array([x, y, z])
+        flat = transformed[:, :2].astype(np.float32)
+        return self.handle_scan(odom_pose_xytheta, flat, point_mask)
+
     def handle_laser_scan(
         self,
         odom_pose_xytheta,

@@ -162,3 +162,25 @@ class TestLaserScanPath:
         )
         assert res.valid
         assert np.isfinite(res.pose).all()
+
+
+class TestPointCloudPath:
+    def test_handle_point_cloud_projects_to_plane(self):
+        cfg = AmclNodeConfig(
+            max_particles=200, min_particles=50,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+        )
+        node = AmclNode(cfg)
+        node.set_map(small_world())
+        rng = np.random.default_rng(1)
+        pts3 = rng.uniform(0.3, 2.0, (40, 3)).astype(np.float32)
+        res = node.handle_point_cloud((0.0, 0.0, 0.0), pts3)
+        assert res.valid
+        assert np.isfinite(res.pose).all()
+
+
+def test_public_api_importable():
+    import beluga_tpu as bt
+
+    for name in bt.__all__:
+        assert hasattr(bt, name), name
