@@ -1,0 +1,98 @@
+"""Offline localization CLI — the executable-node / bag-replay analog.
+
+Replays a recorded sensor stream (an .npz file with odometry poses and
+laser scans) through the AMCL node and writes the estimated trajectory +
+accuracy metrics. This is the middleware-free counterpart of running
+beluga_amcl's node against a rosbag (beluga_example/).
+
+Stream format (.npz):
+  odom:           f64[T, 3]  (x, y, yaw) base pose in odom frame per scan
+  scans:          f32[T, B]  ranges (NaN/inf = invalid)
+  angle_min:      f64 scalar
+  angle_increment: f64 scalar
+  range_min/range_max: f64 scalars (optional)
+  ground_truth:   f64[T, 3]  optional, enables APE reporting
+
+Usage:
+  python -m beluga_tpu.tools.localize --map map.yaml --params amcl.yaml \
+      --input stream.npz --output trajectory.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def run(map_yaml, input_npz, output_npz=None, params_yaml=None, initial_pose=None):
+    from beluga_tpu.io.config import AmclNodeConfig, load_config
+    from beluga_tpu.maps.occupancy import load_pgm_yaml
+    from beluga_tpu.node import AmclNode
+    from beluga_tpu.utils.metrics import ape
+    from beluga_tpu.utils.profiling import LatencyRecorder
+
+    cfg = load_config(params_yaml) if params_yaml else AmclNodeConfig()
+    data = np.load(input_npz)
+    odom = np.asarray(data["odom"], np.float64)
+    scans = np.asarray(data["scans"], np.float32)
+    angle_min = float(data["angle_min"])
+    angle_inc = float(data["angle_increment"])
+    range_min = float(data["range_min"]) if "range_min" in data else cfg.laser_min_range
+    range_max = float(data["range_max"]) if "range_max" in data else min(cfg.laser_max_range, 1e9)
+
+    node = AmclNode(cfg)
+    node.set_map(load_pgm_yaml(map_yaml))
+    if initial_pose is not None:
+        node.set_initial_pose(*initial_pose)
+    elif cfg.set_initial_pose:
+        pass  # set_map already applied the config pose
+    elif "ground_truth" in data:
+        node.set_initial_pose(*data["ground_truth"][0])
+    else:
+        node.global_localization()
+
+    recorder = LatencyRecorder()
+    est, est_idx = [], []
+    for t in range(len(odom)):
+        with recorder.measure():
+            res = node.handle_laser_scan(
+                odom[t], scans[t], angle_min, angle_inc, range_min, range_max
+            )
+        if res.valid:
+            est.append(res.pose)
+            est_idx.append(t)
+
+    est = np.asarray(est)
+    est_idx = np.asarray(est_idx, np.int64)
+    summary = {"updates": int(len(est)), "scans": int(len(odom)),
+               "latency": recorder.summary()}
+    if "ground_truth" in data and len(est):
+        gt = np.asarray(data["ground_truth"], np.float64)[est_idx]
+        summary["ape"] = ape(est, gt)
+
+    if output_npz:
+        np.savez_compressed(
+            output_npz, estimates=est, estimate_indices=est_idx,
+            summary=json.dumps(summary),
+        )
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--map", required=True, help="map YAML (PGM + metadata)")
+    p.add_argument("--input", required=True, help="sensor stream .npz")
+    p.add_argument("--params", default=None, help="nav2-style parameter YAML")
+    p.add_argument("--output", default=None, help="trajectory output .npz")
+    p.add_argument("--initial-pose", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "YAW"))
+    args = p.parse_args(argv)
+    summary = run(args.map, args.input, args.output, args.params, args.initial_pose)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
