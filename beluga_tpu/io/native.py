@@ -116,15 +116,25 @@ def scan_to_points(
 
 
 def take_evenly_indices(n: int, k: int) -> np.ndarray:
-    """Indices of an evenly-spaced k-subsample of n slots (take_evenly.hpp)."""
+    """Indices of an evenly-spaced k-subsample of n slots.
+
+    Reference semantics (take_evenly.hpp, pinned by test_take_evenly.cpp):
+    ``ceil((n-1) j / (k-1))`` — e.g. 3 of 6 → {0, 3, 5}, 6 of 10 →
+    {0, 2, 4, 6, 8, 9}.  When ``k >= n`` all indices are returned.
+    """
+    if k <= 0 or n <= 0:
+        return np.zeros(0, np.int64)
+    if k >= n:
+        return np.arange(n, dtype=np.int64)
+    if k == 1 or n == 1:
+        return np.zeros(k, np.int64)
     lib = _load()
-    if lib is not None and k > 1:
+    if lib is not None:
         out = np.empty(k, np.int64)
         lib.take_evenly_indices(n, k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
-    if k <= 1:
-        return np.zeros(max(k, 0), np.int64)
-    return ((n - 1) * np.arange(k, dtype=np.int64)) // (k - 1)
+    num = (n - 1) * np.arange(k, dtype=np.int64)
+    return -(-num // (k - 1))
 
 
 def decode_pgm_trinary(

@@ -85,7 +85,9 @@ class ScanSimulator:
 
         # take_evenly decimation to max_beams (views/take_evenly.hpp, applied
         # by the LaserScan adapter before range filtering)
-        idx = np.linspace(0, self.spec.num_beams - 1, self.spec.max_beams).astype(int)
+        from beluga_tpu.io.native import take_evenly_indices
+
+        idx = take_evenly_indices(self.spec.num_beams, self.spec.max_beams)
         angles = np.asarray(self._angles)[idx]
         r = dist[idx]
         m = valid[idx]

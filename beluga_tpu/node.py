@@ -252,7 +252,13 @@ class AmclNode:
             ranges, angle_min, angle_increment, range_min, range_max, sensor_pose
         )
         idx = _native.take_evenly_indices(len(ranges), cfg.max_beams)
-        return self.handle_scan(odom_pose_xytheta, pts_full[idx], mask_full[idx])
+        # static beam capacity: pad when the scan has fewer beams than
+        # max_beams so the compiled update shape never changes
+        pts = np.zeros((cfg.max_beams, 2), np.float32)
+        mask = np.zeros(cfg.max_beams, bool)
+        pts[: len(idx)] = pts_full[idx]
+        mask[: len(idx)] = mask_full[idx]
+        return self.handle_scan(odom_pose_xytheta, pts, mask)
 
     # -- introspection (particle_cloud publishers analog) -------------------
 

@@ -159,7 +159,19 @@ def phase_async() -> None:
     per_step = _measure(step, ctx, state, odoms, points, masks, iters=8)
     ups = BATCH * NPART / per_step
     log(f"async: {ups:.3e} updates/s ({per_step*1e3:.2f} ms/step)")
-    print(json.dumps({"value": ups, "deceived": deceived}))
+
+    # Marginal-rate estimate: when completion acks are optimistic, the
+    # difference between a long and a short run isolates the steady-state
+    # (queue-saturated) per-step time, which tracks true execution.
+    marginal_ups = None
+    if deceived:
+        t_short = _measure(step, ctx, state, odoms, points, masks, iters=8) * 8
+        t_long = _measure(step, ctx, state, odoms, points, masks, iters=72) * 72
+        marginal = max((t_long - t_short) / 64, 1e-9)
+        marginal_ups = BATCH * NPART / marginal
+        log(f"async marginal: {marginal_ups:.3e} updates/s ({marginal*1e3:.2f} ms/step)")
+
+    print(json.dumps({"value": ups, "marginal": marginal_ups, "deceived": deceived}))
 
 
 def phase_sync() -> None:
@@ -232,10 +244,15 @@ def _run_phase(phase: str, timeout: float):
 
 
 def main():
-    a = _run_phase("async", timeout=max(min(remaining() - 360, 240), 120))
+    a = _run_phase("async", timeout=max(min(remaining() - 330, 270), 150))
     value, mode = 0.0, "failed"
     if a is not None:
-        value, mode = a["value"], "async_enqueue_upper_bound" if a.get("deceived") else "async"
+        if a.get("deceived") and a.get("marginal"):
+            value, mode = a["marginal"], "async_marginal"
+        elif a.get("deceived"):
+            value, mode = a["value"], "async_enqueue_upper_bound"
+        else:
+            value, mode = a["value"], "async"
 
     if a is None or a.get("deceived"):
         budget = remaining() - 15

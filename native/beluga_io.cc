@@ -48,17 +48,19 @@ void scan_to_points(
   }
 }
 
-// Evenly-spaced decimation of n source slots into k destination slots
-// (views/take_evenly.hpp semantics: first and last included when k > 1).
+// Evenly-spaced decimation of n source slots into k destination slots.
+// Reference semantics (views/take_evenly.hpp, pinned by
+// test_take_evenly.cpp): index_j = ceil((n-1) * j / (k-1)); first and last
+// elements are always included when k > 1.
 void take_evenly_indices(int64_t n, int64_t k, int64_t* out_idx) {
-  if (k <= 0) return;
+  if (k <= 0 || n <= 0) return;
   if (k == 1 || n == 1) {
-    out_idx[0] = 0;
-    for (int64_t j = 1; j < k; ++j) out_idx[j] = (n - 1) * j / (k - 1 > 0 ? k - 1 : 1);
+    for (int64_t j = 0; j < k; ++j) out_idx[j] = 0;
     return;
   }
   for (int64_t j = 0; j < k; ++j) {
-    out_idx[j] = (n - 1) * j / (k - 1);
+    const int64_t num = (n - 1) * j;
+    out_idx[j] = (num + k - 2) / (k - 1);  // ceil(num / (k-1))
   }
 }
 

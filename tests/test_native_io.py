@@ -57,9 +57,39 @@ class TestTakeEvenly:
         assert len(idx) == 60
         assert (np.diff(idx) > 0).all()
 
-    def test_matches_python(self):
-        want = ((360 - 1) * np.arange(60, dtype=np.int64)) // 59
-        np.testing.assert_array_equal(native.take_evenly_indices(360, 60), want)
+    # golden cases from beluga/test/beluga/views/test_take_evenly.cpp
+    @pytest.mark.parametrize(
+        "n,k,want",
+        [
+            (4, 2, [0, 3]),
+            (5, 3, [0, 2, 4]),
+            (6, 3, [0, 3, 5]),
+            (9, 3, [0, 4, 8]),
+            (4, 3, [0, 2, 3]),
+            (10, 6, [0, 2, 4, 6, 8, 9]),
+            (4, 10, [0, 1, 2, 3]),  # TakeAll: k > n returns everything
+            (4, 1, [0]),
+            (0, 1, []),
+            (4, 0, []),
+        ],
+    )
+    def test_reference_goldens(self, n, k, want):
+        np.testing.assert_array_equal(native.take_evenly_indices(n, k), want)
+
+    def test_native_matches_fallback(self):
+        lib = native._lib
+        for n, k in [(360, 60), (100, 7), (13, 5)]:
+            got_native = native.take_evenly_indices(n, k)
+            native._lib = None
+            native._build_attempted = True
+            so = native._SO
+            native._SO = native._SO.with_suffix(".missing")
+            try:
+                got_py = native.take_evenly_indices(n, k)
+            finally:
+                native._SO = so
+                native._lib = lib
+            np.testing.assert_array_equal(got_native, got_py)
 
 
 class TestPgmDecoder:
