@@ -247,8 +247,10 @@ def main():
     a = _run_phase("async", timeout=max(min(remaining() - 330, 270), 150))
     value, mode = 0.0, "failed"
     if a is not None:
-        if a.get("deceived") and a.get("marginal"):
-            value, mode = a["marginal"], "async_marginal"
+        marginal = a.get("marginal")
+        if a.get("deceived") and marginal and marginal < 0.5 * a["value"]:
+            # the long run actually saturated the queue -> trustworthy
+            value, mode = marginal, "async_marginal"
         elif a.get("deceived"):
             value, mode = a["value"], "async_enqueue_upper_bound"
         else:
