@@ -49,8 +49,10 @@ class ScanResult:
 class AmclNode:
     """2D AMCL node over occupancy-grid maps."""
 
-    def __init__(self, config: AmclNodeConfig | None = None, seed: int = 0):
+    def __init__(self, config: AmclNodeConfig | None = None, seed: int = 0,
+                 verbose: bool = False):
         self.config = config or AmclNodeConfig()
+        self.verbose = verbose
         self.params = self.config.amcl_params()
         self._key = jax.random.PRNGKey(seed)
         self._models = None
@@ -185,6 +187,11 @@ class AmclNode:
         )
         cov = np.asarray(est.covariance)
         self.last_known_estimate = (pose, cov)
+        if self.verbose:
+            # per-update log line, like amcl_node.cpp:612-615
+            n = int(jax.device_get(self._state.particles.active))
+            b = int(np.asarray(jax.device_get(mask)).sum())
+            print(f"[amcl] {n} particles {b} points - {latency*1e3:.3f}ms")
 
         # map->odom correction: T_map_odom = T_map_base * T_odom_base^-1
         # (amcl_node.cpp:624-636)
