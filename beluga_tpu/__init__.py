@@ -26,6 +26,7 @@ from beluga_tpu.filters.builders import (
     update_map_ctx,
 )
 from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d, make_ndt_filter_3d
+from beluga_tpu.filters.vdb_builders import make_vdb_filter_3d
 from beluga_tpu.io.config import AmclNodeConfig, load_config
 from beluga_tpu.maps.ndt import load_ndt_hdf5, make_ndt_map
 from beluga_tpu.maps.occupancy import OccupancyGrid, load_pgm_yaml, make_grid
@@ -41,7 +42,7 @@ __all__ = [
     "ParticleSet", "make_from_states",
     "AmclModels", "AmclParams", "AmclState", "Estimate", "init_state", "update",
     "make_likelihood_field_filter", "update_map_ctx",
-    "make_ndt_filter_2d", "make_ndt_filter_3d",
+    "make_ndt_filter_2d", "make_ndt_filter_3d", "make_vdb_filter_3d",
     "AmclNodeConfig", "load_config",
     "load_ndt_hdf5", "make_ndt_map",
     "OccupancyGrid", "load_pgm_yaml", "make_grid",
