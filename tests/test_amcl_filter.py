@@ -209,3 +209,31 @@ class TestAmclFilter:
         active = int(state.particles.active)
         w = np.asarray(state.particles.weight[:active])
         np.testing.assert_allclose(w, 1.0)
+
+
+class TestScanReplay:
+    def test_update_under_lax_scan(self, world):
+        """Whole-trajectory replay as one on-device lax.scan program."""
+        import functools
+
+        grid, models, ctx = world
+        params = AmclParams(max_particles=256, min_particles=64)
+        state, _, _ = make_filter(world, params)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+
+        step = functools.partial(update, params, models)
+        xs = jnp.linspace(0.3, 3.0, 10)
+        odom_seq = SE2.from_xytheta(xs, jnp.zeros(10), jnp.zeros(10))
+
+        @jax.jit
+        def replay(ctx, state, odom_seq, pts, mask):
+            def body(s, odom):
+                s, est = step(ctx, s, odom, pts, mask)
+                return s, (est.valid, est.pose.xy)
+
+            return jax.lax.scan(body, state, odom_seq)
+
+        final, (valids, xys) = replay(ctx, state, odom_seq, pts, mask)
+        assert bool(np.asarray(valids).all())
+        assert np.isfinite(np.asarray(xys)).all()
+        assert 64 <= int(final.particles.active) <= 256
