@@ -135,7 +135,11 @@ def table_lookup(table: Array, yi: Array, xi: Array, mode: str = "auto") -> Arra
         return _onehot_lookup(table, yi, xi)
     if mode != "auto":
         raise ValueError(f"unknown lookup mode {mode!r}")
+    # the one-hot cost scales with the table size (H·W MACs per query), so
+    # it only beats the ~1e8/s serialized gather for small tables and large
+    # query batches
+    h, w = table.shape
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and yi.size >= 65536:
+    if on_tpu and yi.size >= 65536 and h * w <= 512 * 512:
         return _onehot_lookup(table, yi, xi)
     return _plain_lookup(table, yi, xi)

@@ -1,0 +1,85 @@
+"""Shared-scan likelihood LUT: accuracy vs the exact per-beam model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+from beluga_tpu.models.sensor.likelihood_field import (
+    LikelihoodFieldParams,
+    likelihood_field_weights,
+    make_likelihood_field,
+)
+from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut, scan_lut_weights
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[25:30, 40:45] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+    field = make_likelihood_field(LikelihoodFieldParams(max_laser_distance=5.0), grid)
+
+    rng = np.random.default_rng(0)
+    n_beams = 24
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    r = rng.uniform(0.5, 2.0, n_beams)
+    points = jnp.asarray(np.stack([r * np.cos(angles), r * np.sin(angles)], -1), jnp.float32)
+    mask = jnp.ones(n_beams, bool)
+    return field, points, mask
+
+
+def test_lut_matches_exact_model(setup):
+    field, points, mask = setup
+    # jit-compatible when the static footprint radius / resolution are given
+    lut = jax.jit(
+        lambda f, p, m: build_scan_lut(
+            f, p, m, n_theta=256, max_point_radius=2.5, resolution_hint=0.1
+        )
+    )(field, points, mask)
+
+    rng = np.random.default_rng(1)
+    n = 400
+    states = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32),
+    )
+    exact = np.asarray(likelihood_field_weights(field, states, points, mask))
+    approx = np.asarray(scan_lut_weights(lut, states))
+
+    # bounded approximation: bilinear + theta interpolation vs floor-cell
+    rel = np.abs(approx - exact) / np.abs(exact)
+    assert np.median(rel) < 0.08, f"median rel err {np.median(rel):.3f}"
+    assert np.corrcoef(exact, approx)[0, 1] > 0.9
+    # ranking near the peak is what drives resampling: the top-decile sets
+    # of the exact and LUT scores must substantially overlap
+    k = len(exact) // 10
+    top_exact = set(np.argsort(exact)[-k:])
+    top_lut = set(np.argsort(approx)[-k:])
+    overlap = len(top_exact & top_lut) / k
+    assert overlap > 0.6, f"top-decile overlap {overlap:.2f}"
+
+
+def test_lut_out_of_map_poses_finite(setup):
+    field, points, mask = setup
+    lut = build_scan_lut(field, points, mask, n_theta=64)
+    states = SE2.from_xytheta(
+        jnp.asarray([-3.0, 50.0]), jnp.asarray([-3.0, 50.0]), jnp.zeros(2)
+    )
+    w = np.asarray(scan_lut_weights(lut, states))
+    assert np.isfinite(w).all()
+    assert (w >= 1.0).all()
+
+
+def test_lut_theta_wraps(setup):
+    field, points, mask = setup
+    lut = build_scan_lut(field, points, mask, n_theta=64)
+    a = SE2.from_xytheta(jnp.asarray([3.0]), jnp.asarray([3.0]), jnp.asarray([np.pi - 1e-4]))
+    b = SE2.from_xytheta(jnp.asarray([3.0]), jnp.asarray([3.0]), jnp.asarray([-np.pi + 1e-4]))
+    wa = float(scan_lut_weights(lut, a)[0])
+    wb = float(scan_lut_weights(lut, b)[0])
+    assert wa == pytest.approx(wb, rel=0.05)
