@@ -37,7 +37,7 @@ import time
 import numpy as np
 
 V5E_PEAK_F32_FLOPS = 2.5e14
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "570"))
 _T0 = time.monotonic()
 
 BATCH, NPART, BEAMS = 64, 4096, 60
@@ -244,7 +244,10 @@ def _run_phase(phase: str, timeout: float):
 
 
 def main():
-    a = _run_phase("async", timeout=max(min(remaining() - 330, 270), 150))
+    # the async phase completes in ~100s with a warm compile cache; keep it
+    # tight so the sync phase gets the longest possible window for its
+    # unpredictable (4-9 min) readback switch
+    a = _run_phase("async", timeout=max(min(remaining() - 400, 180), 120))
     value, mode = 0.0, "failed"
     if a is not None:
         marginal = a.get("marginal")
