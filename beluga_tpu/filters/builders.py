@@ -137,3 +137,51 @@ def update_map_ctx(ctx: dict, grid: OccupancyGrid, lf_params: LikelihoodFieldPar
     """Hot-swap the map (amcl_node.cpp:469-471): recompute the likelihood
     field, keep everything else."""
     return {**ctx, "grid": grid, "field": make_likelihood_field(lf_params, grid)}
+
+
+def make_shared_scan_filter(
+    grid: OccupancyGrid,
+    lf_params: LikelihoodFieldParams = LikelihoodFieldParams(),
+    motion_params: Any = DifferentialDriveParams(),
+    n_theta: int = 128,
+    max_point_radius: float = 4.0,
+):
+    """Likelihood-field AMCL for fleets that score the *same* scan.
+
+    The per-scan correlation LUT (models/sensor/likelihood_field_lut.py) is
+    built once per scan with :func:`prepare_shared_scan_ctx` and shared by
+    every filter/particle through the ctx; the reweight then costs two
+    θ-interpolated lookups per particle instead of B beam lookups.
+
+    Returns ``(models, ctx, prepare)`` where
+    ``prepare(ctx, points, beam_mask) -> ctx`` refreshes the LUT (jit it
+    with the fleet step or call it per scan).
+    """
+    from beluga_tpu.models.sensor.likelihood_field_lut import (
+        build_scan_lut,
+        scan_lut_weights,
+    )
+
+    def log_weight(ctx, states, points, beam_mask):
+        del points, beam_mask  # folded into the shared LUT
+        return jnp.log(scan_lut_weights(ctx["scan_lut"], states))
+
+    models = AmclModels(
+        propagate=make_motion_fn(motion_params),
+        log_weight=log_weight,
+        random_state=make_grid_random_state_fn(),
+        hash_state=default_hash_state,
+        estimate=default_estimate,
+    )
+    field = make_likelihood_field(lf_params, grid)
+    res_hint = grid.resolution_hint
+
+    def prepare(ctx, points, beam_mask):
+        lut = build_scan_lut(
+            ctx["field"], points, beam_mask, n_theta=n_theta,
+            max_point_radius=max_point_radius, resolution_hint=res_hint,
+        )
+        return {**ctx, "scan_lut": lut}
+
+    ctx = {"grid": grid, "field": field}
+    return models, ctx, prepare

@@ -83,3 +83,59 @@ def test_lut_theta_wraps(setup):
     wa = float(scan_lut_weights(lut, a)[0])
     wb = float(scan_lut_weights(lut, b)[0])
     assert wa == pytest.approx(wb, rel=0.05)
+
+
+def test_shared_scan_fleet_filter():
+    """Fleet of filters sharing one scan through the LUT path: the shared
+    update tracks like the exact per-beam update."""
+    import functools
+
+    from beluga_tpu.core.random import sample_normal_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state, update
+    from beluga_tpu.filters.builders import (
+        make_likelihood_field_filter,
+        make_shared_scan_filter,
+    )
+
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[25:30, 40:45] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+
+    models, ctx, prepare = make_shared_scan_filter(
+        grid, LikelihoodFieldParams(max_laser_distance=5.0),
+        n_theta=64, max_point_radius=2.5,
+    )
+    params = AmclParams(max_particles=256, min_particles=64)
+
+    rng = np.random.default_rng(2)
+    n_beams = 24
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    r = rng.uniform(0.5, 2.0, n_beams)
+    points = jnp.asarray(
+        np.stack([r * np.cos(angles), r * np.sin(angles)], -1), jnp.float32
+    )
+    mask = jnp.ones(n_beams, bool)
+
+    # one shared LUT for the whole fleet
+    sctx = prepare(ctx, points, mask)
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        states = sample_normal_se2(
+            k1, 256, SE2.from_xytheta(3.2, 3.2, 0.0), jnp.eye(3) * 0.2
+        )
+        return init_state(k2, states, params)
+
+    batch = 4
+    fleet = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(0), batch))
+    step = jax.vmap(
+        functools.partial(update, params, models), in_axes=(None, 0, 0, None, None)
+    )
+    odoms = SE2.from_xytheta(jnp.full(batch, 0.3), jnp.zeros(batch), jnp.zeros(batch))
+    fleet, est = jax.jit(step)(sctx, fleet, odoms, points, mask)
+    assert bool(np.asarray(est.valid).all())
+    assert np.isfinite(np.asarray(est.pose.xy)).all()
+    # all filters see the same scan from the same prior -> estimates agree
+    xs = np.asarray(est.pose.x)
+    assert xs.std() < 0.5
