@@ -130,6 +130,74 @@ def build_scan_lut(
     )
 
 
+def build_scan_lut_fft(
+    field: LikelihoodField,
+    points: Array,
+    beam_mask: Array,
+    n_theta: int = 128,
+    max_point_radius: float = 4.0,
+    resolution_hint: float | None = None,
+) -> ScanLut:
+    """FFT build of the correlation maps: one forward FFT of the padded
+    ``LF³`` plus K closed-form footprint spectra and K inverse FFTs.
+
+    The K sparse beam footprints never materialize — their spectra are sums
+    of complex exponentials ``Σ_b exp(-2πi(u·off_b))``.  Roughly an order
+    of magnitude cheaper than the shift-accumulate build; sampling is
+    periodic-sinc (vs bilinear), which can ring slightly near sharp field
+    edges — accuracy tested against the exact model.
+    """
+    if resolution_hint is None:
+        resolution_hint = float(jax.device_get(field.resolution))
+
+    lf3 = field.values**3
+    unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
+    res = field.resolution
+    pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
+
+    h, w = lf3.shape
+    hp, wp = h + 2 * pad, w + 2 * pad
+    padded = jnp.pad(lf3, pad)
+    yy = jnp.arange(hp)[:, None]
+    xx = jnp.arange(wp)[None, :]
+    in_core = (yy >= pad) & (yy < pad + h) & (xx >= pad) & (xx < pad + w)
+    padded = jnp.where(in_core, padded, unknown3)
+
+    spectrum = jnp.fft.rfft2(padded)  # [hp, wp//2+1]
+
+    thetas = jnp.arange(n_theta, dtype=jnp.float32) * (2.0 * jnp.pi / n_theta)
+    fy = jnp.fft.fftfreq(hp)[:, None]  # rows (y axis)
+    fx = jnp.fft.rfftfreq(wp)[None, :]  # cols (x axis)
+
+    def one_theta(theta):
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        ox = (c * points[:, 0] - s * points[:, 1]) / res  # cells, x
+        oy = (s * points[:, 0] + c * points[:, 1]) / res  # cells, y
+        # value at cell q of the correlation = sum_b padded(q + off_b):
+        # spectrum multiplier exp(+2πi (fy*oy + fx*ox)) per beam
+        phase = 2.0 * jnp.pi * (
+            fy[None, :, :] * oy[:, None, None] + fx[None, :, :] * ox[:, None, None]
+        )  # [B, hp, wf]
+        footprint = jnp.sum(
+            jnp.where(
+                beam_mask[:, None, None],
+                jnp.exp(1j * phase.astype(jnp.float32)),
+                0.0,
+            ),
+            axis=0,
+        )
+        return jnp.fft.irfft2(spectrum * footprint, s=(hp, wp)).astype(jnp.float32)
+
+    values = jax.lax.map(one_theta, thetas)
+    return ScanLut(
+        values=values,
+        resolution=res,
+        world_to_field=field.world_to_field,
+        pad_cells=pad,
+        n_theta=n_theta,
+    )
+
+
 def scan_lut_weights(lut: ScanLut, states: SE2, lookup_mode: str = "auto") -> Array:
     """AMCL-parity weights ``1 + Σ pz³`` from the LUT; ``f32[N]``.
 

@@ -139,3 +139,41 @@ def test_shared_scan_fleet_filter():
     # all filters see the same scan from the same prior -> estimates agree
     xs = np.asarray(est.pose.x)
     assert xs.std() < 0.5
+
+
+def test_fft_build_matches_shift_build(setup):
+    from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_fft
+
+    field, points, mask = setup
+    a = build_scan_lut(field, points, mask, n_theta=32, max_point_radius=2.5)
+    b = build_scan_lut_fft(field, points, mask, n_theta=32, max_point_radius=2.5)
+    assert a.values.shape == b.values.shape
+    va = np.asarray(a.values)
+    vb = np.asarray(b.values)
+    # different interpolants (bilinear vs periodic sinc): compare loosely
+    scale = np.abs(va).max()
+    assert np.median(np.abs(va - vb)) < 0.05 * scale
+    assert np.corrcoef(va.ravel(), vb.ravel())[0, 1] > 0.99
+
+
+def test_fft_lut_matches_exact_model(setup):
+    from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_fft
+
+    field, points, mask = setup
+    lut = build_scan_lut_fft(field, points, mask, n_theta=256, max_point_radius=2.5)
+    rng = np.random.default_rng(5)
+    n = 300
+    states = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32),
+    )
+    exact = np.asarray(likelihood_field_weights(field, states, points, mask))
+    approx = np.asarray(scan_lut_weights(lut, states))
+    rel = np.abs(approx - exact) / np.abs(exact)
+    assert np.median(rel) < 0.1
+    k = n // 10
+    overlap = len(
+        set(np.argsort(exact)[-k:]) & set(np.argsort(approx)[-k:])
+    ) / k
+    assert overlap > 0.5
