@@ -1,0 +1,85 @@
+"""Range-LUT beam model: LUT correctness and weight parity with the exact
+ray-marched model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+from beluga_tpu.models.sensor.beam import BeamModelParams, beam_weights
+from beluga_tpu.models.sensor.beam_lut import beam_lut_weights, build_range_lut
+from beluga_tpu.ops.raycast import cast_rays
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(0)
+    data = np.zeros((48, 48), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[20:24, 30:34] = OCCUPIED_VALUE
+    data[34:37, 10:13] = OCCUPIED_VALUE
+    return make_grid(data, 0.1)
+
+
+def test_lut_entries_match_direct_casts(world):
+    lut = build_range_lut(world, max_range=4.0, n_bearings=32, rows_per_block=8)
+    assert lut.ranges.shape == (32, 48, 48)
+
+    # spot-check: LUT entry == direct cast from the same cell center at the
+    # same binned bearing (identical Bresenham, so exact)
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        yi, xi = rng.integers(4, 44, 2)
+        k = rng.integers(0, 32)
+        theta = 2 * np.pi * k / 32
+        src = jnp.asarray([[(xi + 0.5) * 0.1, (yi + 0.5) * 0.1]], jnp.float32)
+        d = jnp.asarray([[np.cos(theta), np.sin(theta)]], jnp.float32)
+        dist, hit = cast_rays(world, src, d, 4.0, resolution_hint=0.1)
+        want = float(dist[0]) if bool(hit[0]) else 4.0
+        got = float(lut.ranges[k, yi, xi])
+        assert got == pytest.approx(want, abs=1e-5), (yi, xi, k)
+
+
+def test_beam_weights_close_to_exact(world):
+    params = BeamModelParams(
+        z_hit=0.7, z_short=0.1, z_max=0.05, z_rand=0.15,
+        sigma_hit=0.25, beam_max_range=4.0,
+    )
+    lut = build_range_lut(world, max_range=4.0, n_bearings=128, rows_per_block=8)
+
+    rng = np.random.default_rng(2)
+    n_beams = 20
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    r = rng.uniform(0.4, 2.0, n_beams)
+    points = jnp.asarray(np.stack([r * np.cos(angles), r * np.sin(angles)], -1), jnp.float32)
+    mask = jnp.ones(n_beams, bool)
+
+    n = 200
+    states = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(0.8, 4.0, n), jnp.float32),
+        jnp.asarray(rng.uniform(0.8, 4.0, n), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32),
+    )
+    exact = np.asarray(
+        beam_weights(params, world, states, points, mask, resolution_hint=0.1)
+    )
+    approx = np.asarray(beam_lut_weights(params, lut, states, points, mask))
+
+    # bearing quantization smooths z_mean; weights stay strongly correlated
+    assert np.corrcoef(np.log(exact + 1e-9), np.log(approx + 1e-9))[0, 1] > 0.9
+    k = n // 10
+    overlap = len(set(np.argsort(exact)[-k:]) & set(np.argsort(approx)[-k:])) / k
+    assert overlap >= 0.5
+
+
+def test_lut_weights_finite_everywhere(world):
+    params = BeamModelParams(beam_max_range=4.0)
+    lut = build_range_lut(world, max_range=4.0, n_bearings=16, rows_per_block=8)
+    states = SE2.from_xytheta(
+        jnp.asarray([-5.0, 2.0, 100.0]), jnp.asarray([2.0, 2.0, 100.0]), jnp.zeros(3)
+    )
+    pts = jnp.asarray([[1.0, 0.0], [0.0, 1.5]], jnp.float32)
+    w = np.asarray(beam_lut_weights(params, lut, states, pts, jnp.ones(2, bool)))
+    assert np.isfinite(w).all()
