@@ -185,3 +185,62 @@ def make_shared_scan_filter(
 
     ctx = {"grid": grid, "field": field}
     return models, ctx, prepare
+
+
+def make_beam_filter(
+    grid: OccupancyGrid,
+    beam_params=None,
+    motion_params: Any = DifferentialDriveParams(),
+    use_range_lut: bool = False,
+    n_bearings: int = 128,
+    use_cluster_estimate: bool = False,
+):
+    """Assemble the beam-model AMCL configuration.
+
+    ``use_range_lut=True`` precomputes the per-map CDDT-style range LUT
+    (models/sensor/beam_lut.py) so each beam costs a lookup instead of a
+    ray march; the exact path ray-marches with the lock-step Bresenham.
+    Returns ``(models, ctx)``.
+    """
+    from beluga_tpu.models.sensor.beam import BeamModelParams, beam_log_weights
+
+    beam_params = beam_params or BeamModelParams()
+    res_hint = grid.resolution_hint
+
+    if use_range_lut:
+        from beluga_tpu.models.sensor.beam_lut import beam_lut_weights, build_range_lut
+
+        lut = build_range_lut(
+            grid, max_range=beam_params.beam_max_range, n_bearings=n_bearings
+        )
+
+        def log_weight(ctx, states, points, beam_mask):
+            w = beam_lut_weights(beam_params, ctx["range_lut"], states, points, beam_mask)
+            return jnp.log(jnp.maximum(w, 1e-30))
+
+        ctx = {"grid": grid, "range_lut": lut}
+    else:
+        def log_weight(ctx, states, points, beam_mask):
+            return beam_log_weights(
+                beam_params, ctx["grid"], states, points, beam_mask,
+                resolution_hint=res_hint,
+            )
+
+        ctx = {"grid": grid}
+
+    if use_cluster_estimate:
+        from beluga_tpu.algorithms.cluster import cluster_based_estimate
+
+        def estimate(params, particles):
+            return cluster_based_estimate(particles.state, particles.weight, particles.mask)
+    else:
+        estimate = default_estimate
+
+    models = AmclModels(
+        propagate=make_motion_fn(motion_params),
+        log_weight=log_weight,
+        random_state=make_grid_random_state_fn(),
+        hash_state=default_hash_state,
+        estimate=estimate,
+    )
+    return models, ctx

@@ -83,3 +83,48 @@ def test_lut_weights_finite_everywhere(world):
     pts = jnp.asarray([[1.0, 0.0], [0.0, 1.5]], jnp.float32)
     w = np.asarray(beam_lut_weights(params, lut, states, pts, jnp.ones(2, bool)))
     assert np.isfinite(w).all()
+
+
+def test_beam_lut_filter_end_to_end(world):
+    """Full AMCL loop with the range-LUT beam model tracks a pose."""
+    import functools
+
+    from beluga_tpu.core.random import sample_normal_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state, update
+    from beluga_tpu.filters.builders import make_beam_filter
+
+    params_f = AmclParams(max_particles=300, min_particles=75)
+    models, ctx = make_beam_filter(
+        world, BeamModelParams(beam_max_range=4.0), use_range_lut=True, n_bearings=64
+    )
+
+    # simulate a scan from the true pose using direct casts
+    rng = np.random.default_rng(3)
+    true = (2.4, 2.4, 0.2)
+    n_beams = 30
+    bearings = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    src = jnp.broadcast_to(jnp.asarray([true[0], true[1]], jnp.float32), (n_beams, 2))
+    dirs = jnp.stack(
+        [jnp.cos(jnp.asarray(bearings + true[2], jnp.float32)),
+         jnp.sin(jnp.asarray(bearings + true[2], jnp.float32))], -1
+    )
+    dist, hit = cast_rays(world, src, dirs, 4.0, resolution_hint=0.1)
+    r = np.where(np.asarray(hit), np.asarray(dist), np.nan)
+    pts = np.stack([r * np.cos(bearings), r * np.sin(bearings)], -1)
+    mask = np.isfinite(r)
+    pts = jnp.asarray(np.nan_to_num(pts), jnp.float32)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    states = sample_normal_se2(
+        k1, 300, SE2.from_xytheta(*true), jnp.diag(jnp.asarray([0.1, 0.1, 0.05]))
+    )
+    state = init_state(k2, states, params_f)
+    est = None
+    for _ in range(4):
+        state = state._replace(force_update=jnp.asarray(True))
+        state, est = update(
+            params_f, models, ctx, state, SE2.identity(), pts, jnp.asarray(mask)
+        )
+    assert bool(est.valid)
+    err = np.hypot(float(est.pose.x) - true[0], float(est.pose.y) - true[1])
+    assert err < 0.3, err
