@@ -22,7 +22,9 @@ from beluga_tpu.filters.amcl import (
     update,
 )
 from beluga_tpu.filters.builders import (
+    make_beam_filter,
     make_likelihood_field_filter,
+    make_shared_scan_filter,
     update_map_ctx,
 )
 from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d, make_ndt_filter_3d
@@ -41,7 +43,7 @@ __all__ = [
     "SE2", "SE3", "SO2", "SO3", "to_2d", "to_3d",
     "ParticleSet", "make_from_states",
     "AmclModels", "AmclParams", "AmclState", "Estimate", "init_state", "update",
-    "make_likelihood_field_filter", "update_map_ctx",
+    "make_likelihood_field_filter", "make_beam_filter", "make_shared_scan_filter", "update_map_ctx",
     "make_ndt_filter_2d", "make_ndt_filter_3d", "make_vdb_filter_3d",
     "AmclNodeConfig", "load_config",
     "load_ndt_hdf5", "make_ndt_map",
