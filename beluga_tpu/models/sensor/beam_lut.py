@@ -61,37 +61,37 @@ def build_range_lut(
     grid: OccupancyGrid,
     max_range: float,
     n_bearings: int = 64,
-    rows_per_block: int = 16,
 ) -> RangeLut:
-    """Precompute casts for every (cell, bearing bin). Jitted internally;
-    blocks over rows to bound memory (H×W×K rays total)."""
+    """Precompute casts for every (cell, bearing bin).
+
+    One jitted program: a ``lax.map`` over bearings, each iteration casting
+    a whole-map plane of rays with the lock-step Bresenham (working set per
+    bearing ≈ a few H×W planes; total output K×H×W).
+    """
     h, w = grid.data.shape
     res_hint = grid.resolution_hint
     thetas = jnp.arange(n_bearings, dtype=jnp.float32) * (2.0 * jnp.pi / n_bearings)
-    dirs = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)  # [K, 2]
 
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * grid.resolution
-    padded_h = -(-h // rows_per_block) * rows_per_block
-    ys_host = (np.arange(padded_h, dtype=np.float32) + 0.5)
-    ys_host[h:] = h - 0.5  # padded rows recompute the last row; sliced off
-    ys = jnp.asarray(ys_host) * grid.resolution
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * grid.resolution
+    gx = jnp.broadcast_to(xs[None, :], (h, w))
+    gy = jnp.broadcast_to(ys[:, None], (h, w))
+    src = jnp.stack([gx, gy], -1)  # [H, W, 2]
 
     @jax.jit
-    def block(y0):
-        yy = jax.lax.dynamic_slice(ys, (y0,), (rows_per_block,))
-        gx = jnp.broadcast_to(xs[None, :], (rows_per_block, w))
-        gy = jnp.broadcast_to(yy[:, None], (rows_per_block, w))
-        src = jnp.broadcast_to(
-            jnp.stack([gx, gy], -1)[:, :, None, :], (rows_per_block, w, n_bearings, 2)
-        )
-        d = jnp.broadcast_to(dirs[None, None], (rows_per_block, w, n_bearings, 2))
-        dist, hit = cast_rays(grid, src, d, max_range, resolution_hint=res_hint)
-        return jnp.where(hit, dist, max_range).astype(jnp.float32)  # [rows, W, K]
+    def build(grid, src, thetas):
+        def one_bearing(theta):
+            d = jnp.broadcast_to(
+                jnp.stack([jnp.cos(theta), jnp.sin(theta)]), (h, w, 2)
+            )
+            dist, hit = cast_rays(grid, src, d, max_range, resolution_hint=res_hint)
+            return jnp.where(hit, dist, max_range).astype(jnp.float32)
 
-    blocks = [block(jnp.int32(y0)) for y0 in range(0, padded_h, rows_per_block)]
-    out = jnp.concatenate(blocks, axis=0)[:h]  # [H, W, K]
+        return jax.lax.map(one_bearing, thetas)  # [K, H, W]
+
+    ranges = build(grid, src, thetas)
     return RangeLut(
-        ranges=jnp.moveaxis(out, -1, 0),  # [K, H, W]
+        ranges=ranges,
         resolution=grid.resolution,
         origin_inv=grid.origin.inverse(),
         n_bearings=n_bearings,

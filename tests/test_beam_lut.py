@@ -24,7 +24,7 @@ def world():
 
 
 def test_lut_entries_match_direct_casts(world):
-    lut = build_range_lut(world, max_range=4.0, n_bearings=32, rows_per_block=8)
+    lut = build_range_lut(world, max_range=4.0, n_bearings=32)
     assert lut.ranges.shape == (32, 48, 48)
 
     # spot-check: LUT entry == direct cast from the same cell center at the
@@ -47,7 +47,7 @@ def test_beam_weights_close_to_exact(world):
         z_hit=0.7, z_short=0.1, z_max=0.05, z_rand=0.15,
         sigma_hit=0.25, beam_max_range=4.0,
     )
-    lut = build_range_lut(world, max_range=4.0, n_bearings=128, rows_per_block=8)
+    lut = build_range_lut(world, max_range=4.0, n_bearings=128)
 
     rng = np.random.default_rng(2)
     n_beams = 20
@@ -76,7 +76,7 @@ def test_beam_weights_close_to_exact(world):
 
 def test_lut_weights_finite_everywhere(world):
     params = BeamModelParams(beam_max_range=4.0)
-    lut = build_range_lut(world, max_range=4.0, n_bearings=16, rows_per_block=8)
+    lut = build_range_lut(world, max_range=4.0, n_bearings=16)
     states = SE2.from_xytheta(
         jnp.asarray([-5.0, 2.0, 100.0]), jnp.asarray([2.0, 2.0, 100.0]), jnp.zeros(3)
     )
