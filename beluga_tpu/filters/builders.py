@@ -83,15 +83,32 @@ def make_likelihood_field_filter(
     Returns ``(models, ctx)``.  ``ctx = {'grid', 'field'}`` — rebuilding the
     ctx with :func:`update_map_ctx` hot-swaps the map without recompiling.
 
-    ``lookup_mode``: 'auto' | 'gather' | 'onehot' (exact) or 'lowrank'
-    (approximate SVD-factored fast path, ~6x reweight speedup on TPU).
+    ``lookup_mode``: 'auto' | 'gather' | 'onehot' (exact), 'codebook'
+    (exact-to-codebook 8-bit code table, the TPU default — zero error for
+    production fields, ~2x the onehot rate), or 'lowrank' (approximate
+    SVD-factored fast path).
     """
+    valid_modes = ("auto", "gather", "onehot", "codebook", "lowrank")
+    if lookup_mode not in valid_modes:
+        raise ValueError(f"unknown lookup_mode {lookup_mode!r}; expected one of {valid_modes}")
+    if lookup_mode == "auto" and not prob_model and jax.default_backend() == "tpu":
+        lookup_mode = "codebook"
 
     if prob_model:
         def log_weight(ctx, states, points, beam_mask):
             return likelihood_field_prob_weights(
                 ctx["field"], states, points, beam_mask, lookup_mode="auto"
             )
+    elif lookup_mode == "codebook":
+        from beluga_tpu.models.sensor.likelihood_field import (
+            likelihood_field_weights_codebook,
+        )
+
+        def log_weight(ctx, states, points, beam_mask):
+            lik = likelihood_field_weights_codebook(
+                ctx["field"], ctx["field_codes"], states, points, beam_mask
+            )
+            return jnp.log(lik)
     elif lookup_mode == "lowrank":
         from beluga_tpu.models.sensor.likelihood_field import (
             likelihood_field_weights_lowrank,
@@ -130,13 +147,38 @@ def make_likelihood_field_filter(
         from beluga_tpu.ops.gather2d import factorize_table
 
         ctx["field_factors"] = factorize_table(field.values, lowrank_rank)
+    elif lookup_mode == "codebook":
+        ctx["field_codes"] = _make_field_codes(field, lf_params, grid)
     return models, ctx
+
+
+def _make_field_codes(field, lf_params, grid: OccupancyGrid):
+    """(codes i32[H, W], codebook f32[256]) for the code-table lookup.
+
+    The codebook is the table's actual distinct values (device unique,
+    bit-exact when <= 256 of them); the analytic host proposal
+    (maps/codebook.py) only serves as the > 256 fallback."""
+    from beluga_tpu.maps.codebook import likelihood_field_codebook
+    from beluga_tpu.ops.gather2d import build_device_codebook, encode_table
+
+    fallback = jnp.asarray(likelihood_field_codebook(lf_params, grid.resolution_hint))
+    book = build_device_codebook(field.values, fallback)
+    return encode_table(field.values, book), book
 
 
 def update_map_ctx(ctx: dict, grid: OccupancyGrid, lf_params: LikelihoodFieldParams) -> dict:
     """Hot-swap the map (amcl_node.cpp:469-471): recompute the likelihood
     field, keep everything else."""
-    return {**ctx, "grid": grid, "field": make_likelihood_field(lf_params, grid)}
+    new_ctx = {**ctx, "grid": grid, "field": make_likelihood_field(lf_params, grid)}
+    if "field_codes" in ctx:
+        new_ctx["field_codes"] = _make_field_codes(new_ctx["field"], lf_params, grid)
+    if "field_factors" in ctx:
+        from beluga_tpu.ops.gather2d import factorize_table
+
+        new_ctx["field_factors"] = factorize_table(
+            new_ctx["field"].values, ctx["field_factors"][0].shape[1]
+        )
+    return new_ctx
 
 
 def make_shared_scan_filter(

@@ -77,6 +77,92 @@ def _onehot_lookup(table: Array, yi: Array, xi: Array) -> Array:
     return out.ravel()[:n].reshape(shape)
 
 
+def build_device_codebook(table: Array, fallback_book: Array) -> Array:
+    """Codebook of the table's distinct values, computed on device.
+
+    Sort + unique-scatter with a fixed 256-slot capacity: bit-exact when the
+    table has <= 256 distinct values (likelihood fields do — see
+    maps/codebook.py), otherwise falls back to the host-proposed analytic
+    codebook, selected on device so no readback ever happens.  One-off
+    map-load work inside a single jit.
+    """
+    cap = fallback_book.shape[0]
+
+    @jax.jit
+    def build(table, fallback):
+        v = jnp.sort(table.ravel())
+        lead = jnp.concatenate([jnp.ones((1,), bool), v[1:] != v[:-1]])
+        n_distinct = jnp.sum(lead.astype(jnp.int32))
+        rank = jnp.cumsum(lead.astype(jnp.int32)) - 1
+        pos = jnp.where(lead & (rank < cap), rank, cap)  # cap -> dropped
+        book = jnp.full((cap,), v[-1], v.dtype).at[pos].set(v, mode="drop")
+        return jnp.where(n_distinct <= cap, book, fallback)
+
+    return build(table, fallback_book)
+
+
+def encode_table(table: Array, codebook: Array) -> Array:
+    """Nearest-codebook codes for every table entry: ``i32[H, W]``.
+
+    Jitted map-load-time work; no host readback (NOTES.md: a device_get
+    permanently switches remote sessions to synchronous mode).
+    """
+
+    @jax.jit
+    def enc(table, book):
+        def row(t_row):
+            d = jnp.abs(t_row[:, None] - book[None, :])
+            return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+        return jax.lax.map(row, table)
+
+    return enc(table, codebook)
+
+
+def _codebook_lookup(codes: Array, codebook: Array, yi: Array, xi: Array) -> Array:
+    """Exact-to-codebook lookup: one bf16 one-hot pass over integer codes.
+
+    Codes are small integers (< 256) — exactly representable in bf16 — so a
+    *single* bf16 one-hot matmul selects them without rounding (the 3-pass
+    HIGH trick is only needed for full-precision f32 tables).  The selected
+    code is then decoded through the 256-entry codebook with a cheap VPU
+    one-hot.  Runs at the bf16 MXU rate: ~2x the 3-pass default, with
+    reconstruction error equal to the codebook quantization error (zero when
+    the table has <= 256 distinct values — true for production likelihood
+    fields, see maps/codebook.py).
+    """
+    h, w = codes.shape
+    shape = yi.shape
+    yif = jnp.clip(yi, 0, h - 1).ravel()
+    xif = jnp.clip(xi, 0, w - 1).ravel()
+    n = yif.shape[0]
+    pad = -(-n // _CHUNK) * _CHUNK - n
+    yif = jnp.pad(yif, (0, pad))
+    xif = jnp.pad(xif, (0, pad))
+
+    iota_h = jnp.arange(h, dtype=jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    iota_c = jnp.arange(codebook.shape[0], dtype=jnp.int32)
+    codes_bf = codes.astype(jnp.bfloat16)
+
+    def body(c, _):
+        y = jax.lax.dynamic_slice(yif, (c * _CHUNK,), (_CHUNK,))
+        x = jax.lax.dynamic_slice(xif, (c * _CHUNK,), (_CHUNK,))
+        oh_y = (y[:, None] == iota_h[None, :]).astype(jnp.bfloat16)
+        rows = jax.lax.dot(oh_y, codes_bf, preferred_element_type=jnp.float32)
+        code = jnp.sum(
+            jnp.where(x[:, None] == iota_w[None, :], rows, 0.0), axis=1
+        ).astype(jnp.int32)
+        val = jnp.sum(
+            jnp.where(code[:, None] == iota_c[None, :], codebook[None, :], 0.0),
+            axis=1,
+        )
+        return c + 1, val
+
+    _, out = jax.lax.scan(body, 0, None, length=(n + pad) // _CHUNK)
+    return out.ravel()[:n].reshape(shape)
+
+
 def factorize_table(table: Array, rank: int):
     """SVD factorization for the ``lowrank`` mode: returns (U·s, V).
 

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from beluga_tpu.ops.gather2d import (
+    _codebook_lookup,
     _lowrank_lookup,
     _onehot_lookup,
     factorize_table,
@@ -137,3 +138,113 @@ def test_lowrank_filter_end_to_end():
     assert bool(est.valid)
     assert np.isfinite(np.asarray(est.pose.xy)).all()
     assert np.isfinite(np.asarray(state.particles.log_weight)).all()
+
+
+class TestCodebook:
+    """Exact-to-codebook lookup path (maps/codebook.py + _codebook_lookup)."""
+
+    def _field_setup(self, **lf_kw):
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import (
+            LikelihoodFieldParams,
+            make_likelihood_field,
+        )
+
+        data = np.zeros((96, 96), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[40:44, 60:66] = OCCUPIED_VALUE
+        data[10:14, 10:12] = -1  # unknown patch
+        grid = make_grid(data, 0.05)
+        params = LikelihoodFieldParams(**lf_kw)
+        return grid, params, make_likelihood_field(params, grid)
+
+    @pytest.mark.parametrize("unknown", [False, True])
+    def test_reconstruction_exact(self, unknown):
+        """book[codes] reproduces the field bit-exactly (production params)."""
+        from beluga_tpu.filters.builders import _make_field_codes
+
+        grid, params, field = self._field_setup(model_unknown_space=unknown)
+        codes, book = _make_field_codes(field, params, grid)
+        recon = np.asarray(book)[np.asarray(codes)]
+        np.testing.assert_array_equal(recon, np.asarray(field.values))
+
+    def test_analytic_fallback_close(self):
+        """The host-proposed analytic codebook is within 1 ulp of the field."""
+        from beluga_tpu.maps.codebook import likelihood_field_codebook
+        from beluga_tpu.ops.gather2d import encode_table
+
+        grid, params, field = self._field_setup()
+        book = jnp.asarray(likelihood_field_codebook(params, grid.resolution_hint))
+        codes = encode_table(field.values, book)
+        recon = np.asarray(book)[np.asarray(codes)]
+        np.testing.assert_allclose(recon, np.asarray(field.values), rtol=0, atol=2.5e-7)
+
+    def test_codebook_lookup_matches_gather(self):
+        from beluga_tpu.filters.builders import _make_field_codes
+
+        grid, params, field = self._field_setup()
+        codes, book = _make_field_codes(field, params, grid)
+        h, w = field.values.shape
+        yi, xi = queries((700,), h, w, seed=3)
+        got = _codebook_lookup(codes, book, yi, xi)
+        want = table_lookup(field.values, yi, xi, mode="gather")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_codebook_weights_match_exact(self):
+        from beluga_tpu.filters.builders import make_likelihood_field_filter
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.models.sensor.likelihood_field import (
+            likelihood_field_weights,
+            likelihood_field_weights_codebook,
+        )
+
+        grid, params, field = self._field_setup()
+        _, ctx = make_likelihood_field_filter(grid, lookup_mode="codebook")
+        assert "field_codes" in ctx
+        rng = np.random.default_rng(5)
+        n, b = 64, 20
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(0.3, 4.5, n), jnp.float32),
+            jnp.asarray(rng.uniform(0.3, 4.5, n), jnp.float32),
+            jnp.asarray(rng.uniform(-3.2, 3.2, n), jnp.float32),
+        )
+        pts = jnp.asarray(rng.uniform(-2, 2, (b, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random(b) < 0.9)
+        want = likelihood_field_weights(field, states, pts, mask, lookup_mode="gather")
+        got = likelihood_field_weights_codebook(
+            ctx["field"], ctx["field_codes"], states, pts, mask
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
+
+    def test_codebook_oversubscribed_merges(self):
+        """> 256 distinct values still produce a tight codebook."""
+        from beluga_tpu.maps.codebook import likelihood_field_codebook
+        from beluga_tpu.models.sensor.likelihood_field import LikelihoodFieldParams
+
+        params = LikelihoodFieldParams(sigma_hit=2.0)  # wide: many distinct values
+        book = likelihood_field_codebook(params, 0.05)
+        assert book.shape == (256,)
+        assert np.all(np.diff(book) >= 0)
+
+    def test_update_map_ctx_refreshes_codes(self):
+        from beluga_tpu.filters.builders import make_likelihood_field_filter, update_map_ctx
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import LikelihoodFieldParams
+
+        grid, params, field = self._field_setup()
+        _, ctx = make_likelihood_field_filter(grid, lookup_mode="codebook")
+        data2 = np.zeros((96, 96), np.int8)
+        data2[0, :] = data2[-1, :] = data2[:, 0] = data2[:, -1] = OCCUPIED_VALUE
+        grid2 = make_grid(data2, 0.05)
+        ctx2 = update_map_ctx(ctx, grid2, LikelihoodFieldParams())
+        recon = np.asarray(ctx2["field_codes"][1])[np.asarray(ctx2["field_codes"][0])]
+        np.testing.assert_array_equal(recon, np.asarray(ctx2["field"].values))
+
+    def test_builder_rejects_unknown_lookup_mode(self):
+        from beluga_tpu.filters.builders import make_likelihood_field_filter
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+
+        data = np.zeros((16, 16), np.int8)
+        data[0, :] = OCCUPIED_VALUE
+        with pytest.raises(ValueError, match="lookup_mode"):
+            make_likelihood_field_filter(make_grid(data, 0.1), lookup_mode="bogus")
