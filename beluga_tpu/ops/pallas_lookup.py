@@ -1,0 +1,105 @@
+"""Pallas fused code-table lookup kernel.
+
+The XLA formulation of the one-hot MXU lookup (ops/gather2d.py,
+``_codebook_lookup``) materializes the one-hot selector ``bf16[C, H]`` and
+the selected rows ``f32[C, W]`` in HBM on every scan step — for the bench
+reweight that is ~70 GB of HBM traffic per update, which caps the lookup at
+~58% of the MXU.  This kernel performs the whole chain
+
+    one-hot(y) -> MXU row-select -> x-select -> 256-entry codebook decode
+
+inside VMEM: the code table stays resident (384x384 bf16 = 294 KB), the
+selector and row buffers never leave the chip, and the only HBM traffic is
+the query indices in and the decoded values out (~12 B/query).
+
+Layout: queries ride the *lane* axis (blocks ``[1, C]``), so the one-hot is
+``[H, C]`` and the row-select is ``codes^T [W, H] @ oh [H, C]`` — everything
+is naturally tiled and nothing pads (a ``[Q, 1]`` layout would expand 128x).
+
+Numerics are identical to ``_codebook_lookup``: integer codes < 256 are
+exact in bf16, the f32 accumulation of a one-hot selection is exact, and
+the decode reads codebook entries verbatim — so the kernel is bit-exact
+w.r.t. ``codebook[codes[y, x]]``.
+
+Reference behavior being accelerated: the likelihood-field beam lookup of
+sensor/likelihood_field_model.hpp:76-89.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BLOCK = 2048  # queries per program (lane axis)
+
+
+def _kernel(yi_ref, xi_ref, codes_t_ref, book_ref, out_ref):
+    rows_per_blk, c = yi_ref.shape
+    w, h = codes_t_ref.shape
+    n_book = book_ref.shape[0]
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_book, c), 0)
+
+    for r in range(rows_per_blk):  # static unroll over the 8 sublane rows
+        oh_y = (yi_ref[r, :][None, :] == iota_h).astype(codes_t_ref.dtype)  # [H, C]
+        rows = jnp.dot(
+            codes_t_ref[:], oh_y, preferred_element_type=jnp.float32
+        )  # [W, C]
+        code = jnp.sum(
+            jnp.where(xi_ref[r, :][None, :] == iota_w, rows, 0.0),
+            axis=0,
+            keepdims=True,
+        ).astype(jnp.int32)  # [1, C]
+        out_ref[r, :] = jnp.sum(
+            jnp.where(code == iota_c, book_ref[:], 0.0), axis=0
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_codebook_lookup(
+    codes: Array, codebook: Array, yi: Array, xi: Array, interpret: bool = False
+) -> Array:
+    """Fused ``codebook[codes[clip(yi), clip(xi)]]`` for arbitrary-shape queries.
+
+    ``codes``: i32/f32[H, W] code table (values < len(codebook));
+    ``codebook``: f32[K].  Returns f32 with the shape of ``yi``.
+    """
+    h, w = codes.shape
+    k = codebook.shape[0]
+    shape = yi.shape
+    yif = jnp.clip(yi, 0, h - 1).ravel()
+    xif = jnp.clip(xi, 0, w - 1).ravel()
+    n = yif.shape[0]
+    blk = 8 * _BLOCK  # (8 sublane rows) x (_BLOCK lanes) queries per program
+    pad = -(-n // blk) * blk - n
+    g = (n + pad) // blk
+    yif = jnp.pad(yif, (0, pad)).reshape(8 * g, _BLOCK)
+    xif = jnp.pad(xif, (0, pad)).reshape(8 * g, _BLOCK)
+
+    # bf16 one-hot select is exact for integer codes < 256; interpret mode
+    # (CPU tests) lacks bf16 dot support, so it computes in f32.
+    codes_t = codes.T.astype(jnp.float32 if interpret else jnp.bfloat16)  # [W, H]
+    book2d = codebook[:, None].astype(jnp.float32)  # [K, 1]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((8, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8 * g, _BLOCK), jnp.float32),
+        interpret=interpret,
+    )(yif, xif, codes_t, book2d)
+    return out.ravel()[:n].reshape(shape)

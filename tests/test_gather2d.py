@@ -248,3 +248,16 @@ class TestCodebook:
         data[0, :] = OCCUPIED_VALUE
         with pytest.raises(ValueError, match="lookup_mode"):
             make_likelihood_field_filter(make_grid(data, 0.1), lookup_mode="bogus")
+
+    def test_pallas_kernel_matches_gather_interpret(self):
+        """The fused Pallas lookup (interpret mode on CPU) is bit-exact."""
+        from beluga_tpu.filters.builders import _make_field_codes
+        from beluga_tpu.ops.pallas_lookup import pallas_codebook_lookup
+
+        grid, params, field = self._field_setup()
+        codes, book = _make_field_codes(field, params, grid)
+        h, w = field.values.shape
+        yi, xi = queries((900,), h, w, seed=7)
+        got = pallas_codebook_lookup(codes, book, yi, xi, interpret=True)
+        want = table_lookup(field.values, yi, xi, mode="gather")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
