@@ -91,6 +91,17 @@ def tree_take(states: Any, indices: Array) -> Any:
     return jax.tree_util.tree_map(lambda leaf: jnp.take(leaf, indices, axis=0), states)
 
 
+def tree_scatter(base: Any, indices: Array, updates: Any) -> Any:
+    """Scatter ``base[indices[j]] = updates[j]`` across every leaf.
+
+    Out-of-range indices (e.g. ``capacity``) are dropped — callers use that
+    to mask invalid update slots with a static shape.
+    """
+    return jax.tree_util.tree_map(
+        lambda b, u: b.at[indices].set(u, mode="drop"), base, updates
+    )
+
+
 def tree_where(mask: Array, a: Any, b: Any) -> Any:
     """Elementwise select between two state pytrees; mask has shape [N]."""
 

@@ -46,12 +46,13 @@ from beluga_tpu.core.particles import (
     DEAD_LOG_WEIGHT,
     ParticleSet,
     make_from_states,
+    tree_scatter,
     tree_take,
     tree_where,
 )
 from beluga_tpu.core.weights import effective_sample_size, normalize
 from beluga_tpu.lie import SE2
-from beluga_tpu.ops.resample import RESAMPLERS
+from beluga_tpu.ops.resample import POSITIONERS, RESAMPLERS
 
 Array = jax.Array
 
@@ -75,6 +76,14 @@ class AmclParams:
     spatial_resolution_y: float = 0.5
     spatial_resolution_theta: float = 10.0 * 3.141592653589793 / 180.0
     resampling: str = "multinomial"  # reference default (views/sample.hpp)
+    # Recovery-injection pool size.  0 (default, reference-exact) generates
+    # max_particles random states every resample; K > 0 generates only K and
+    # scatters them onto the injected slots (exact iid while the number of
+    # injected slots is <= K; beyond K the injection is clamped for that
+    # update).  The reference generates random states lazily per injected
+    # slot (views/random_intersperse.hpp:93-115), so K bounds the generation
+    # work the same way — random gathers are the serialized op on TPU.
+    recovery_pool: int = 0
 
 
 class AmclModels(NamedTuple):
@@ -256,12 +265,31 @@ def update(
                 lambda a, b: jnp.where(p_random > 0.0, a, b), ThrunState.init(), thrun
             )
             m = params.max_particles
-            resampler = RESAMPLERS[params.resampling]
-            idx = resampler(k_res, particles.weight, m)
-            donors = tree_take(particles.state, idx)
-            randoms = models.random_state(ctx, k_rand, m, particles)
+            if jax.default_backend() == "tpu" and params.resampling in POSITIONERS:
+                # fused Pallas CDF-search + donor copy: the interval mask is
+                # the donor one-hot, the copy rides the MXU (bit-exact;
+                # ~4x the searchsorted + serialized-gather path)
+                from beluga_tpu.ops.pallas_resample import resample_take_tree
+
+                u = POSITIONERS[params.resampling](k_res, m)
+                donors = resample_take_tree(particles.weight, u, particles.state)
+            else:
+                resampler = RESAMPLERS[params.resampling]
+                idx = resampler(k_res, particles.weight, m)
+                donors = tree_take(particles.state, idx)
             inject = jax.random.bernoulli(k_mask, p_random, (m,))
-            candidates = tree_where(inject, randoms, donors)
+            pool = params.recovery_pool
+            if pool and pool < m:
+                randoms = models.random_state(ctx, k_rand, pool, particles)
+                # the j-th injected slot (in slot order) receives pool entry
+                # j; injected slots beyond the pool keep their donor
+                order = jnp.argsort(~inject, stable=True)
+                valid = jnp.arange(pool) < jnp.sum(inject.astype(jnp.int32))
+                target = jnp.where(valid, order[:pool], m)  # m -> dropped
+                candidates = tree_scatter(donors, target, randoms)
+            else:
+                randoms = models.random_state(ctx, k_rand, m, particles)
+                candidates = tree_where(inject, randoms, donors)
             hashes = models.hash_state(params, candidates)
             active = kld_active_count(
                 hashes, params.min_particles, m, params.kld_epsilon, params.kld_z

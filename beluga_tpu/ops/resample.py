@@ -58,21 +58,33 @@ def _select(cdf: Array, positions: Array) -> Array:
     return jnp.clip(idx, 0, cdf.shape[0] - 1).astype(jnp.int32)
 
 
+def multinomial_positions(key: Array, num: int) -> Array:
+    """iid positions — parity with views/sample.hpp's discrete_distribution."""
+    return jax.random.uniform(key, (num,), jnp.float32)
+
+
+def systematic_positions(key: Array, num: int) -> Array:
+    u0 = jax.random.uniform(key, (), jnp.float32)
+    return (jnp.arange(num, dtype=jnp.float32) + u0) / num
+
+
+def stratified_positions(key: Array, num: int) -> Array:
+    return (
+        jnp.arange(num, dtype=jnp.float32)
+        + jax.random.uniform(key, (num,), jnp.float32)
+    ) / num
+
+
 def multinomial_indices(key: Array, weights: Array, num: int) -> Array:
-    """iid draws — parity with views/sample.hpp's discrete_distribution."""
-    u = jax.random.uniform(key, (num,), jnp.float32)
-    return _select(_cdf(weights), u)
+    return _select(_cdf(weights), multinomial_positions(key, num))
 
 
 def systematic_indices(key: Array, weights: Array, num: int) -> Array:
-    u0 = jax.random.uniform(key, (), jnp.float32)
-    u = (jnp.arange(num, dtype=jnp.float32) + u0) / num
-    return _select(_cdf(weights), u)
+    return _select(_cdf(weights), systematic_positions(key, num))
 
 
 def stratified_indices(key: Array, weights: Array, num: int) -> Array:
-    u = (jnp.arange(num, dtype=jnp.float32) + jax.random.uniform(key, (num,), jnp.float32)) / num
-    return _select(_cdf(weights), u)
+    return _select(_cdf(weights), stratified_positions(key, num))
 
 
 def residual_indices(key: Array, weights: Array, num: int) -> Array:
@@ -110,4 +122,12 @@ RESAMPLERS = {
     "systematic": systematic_indices,
     "stratified": stratified_indices,
     "residual": residual_indices,
+}
+
+# position-based strategies (eligible for the fused Pallas resample+copy
+# kernel, ops/pallas_resample.py); residual needs its index construction
+POSITIONERS = {
+    "multinomial": multinomial_positions,
+    "systematic": systematic_positions,
+    "stratified": stratified_positions,
 }

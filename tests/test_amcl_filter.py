@@ -237,3 +237,41 @@ class TestScanReplay:
         assert bool(np.asarray(valids).all())
         assert np.isfinite(np.asarray(xys)).all()
         assert 64 <= int(final.particles.active) <= 256
+
+
+class TestRecoveryPool:
+    """Bounded recovery-injection pool (AmclParams.recovery_pool)."""
+
+    def _run(self, world, pool, sentinel=77.0):
+        grid = world[0]
+        params = AmclParams(
+            max_particles=400, min_particles=100,
+            alpha_slow=0.0, alpha_fast=100.0, recovery_pool=pool,
+        )
+        state, models, ctx = make_filter(world, params)
+        # sentinel generator: injected slots are identifiable by x == 77
+        def sentinel_random(ctx, key, n, particles=None):
+            return SE2.from_xytheta(
+                jnp.full((n,), sentinel), jnp.full((n,), sentinel), jnp.zeros(n)
+            )
+        models = models._replace(random_state=sentinel_random)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        counts = []
+        for _ in range(8):
+            state = state._replace(force_update=jnp.asarray(True))
+            state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+            assert np.isfinite(np.asarray(state.particles.log_weight)).all()
+            x = np.asarray(state.particles.state.x)
+            counts.append(int((x == sentinel).sum()))
+        return counts
+
+    def test_pool_bounds_injection(self, world):
+        counts = self._run(world, pool=32)
+        assert max(counts) > 0, "recovery never fired"
+        # propagate jitters sentinels away each step, so counts reflect the
+        # most recent injection: never more than the pool size
+        assert max(counts) <= 32
+
+    def test_pool_zero_is_exact_path(self, world):
+        counts = self._run(world, pool=0)
+        assert max(counts) > 0

@@ -124,3 +124,46 @@ class TestFleet:
         np.testing.assert_allclose(
             np.asarray(est_plain.pose.xy), np.asarray(est_shard.pose.xy), atol=2e-4
         )
+
+
+class TestPallasResample:
+    """Fused resample+copy kernel (ops/pallas_resample.py, interpret mode)."""
+
+    def test_matches_searchsorted_take(self):
+        from beluga_tpu.ops.pallas_resample import resample_take
+        rng = np.random.default_rng(0)
+        n, m, d = 1000, 700, 4   # non-multiples exercise padding
+        w = rng.random(n).astype(np.float32)
+        w[800:] = 0.0
+        u = rng.random(m).astype(np.float32)
+        vals = (rng.standard_normal((d, n)) * 10).astype(np.float32)
+        got = resample_take(jnp.asarray(w), jnp.asarray(u), jnp.asarray(vals),
+                            interpret=True)
+        cdf = np.cumsum(w) / w.sum()
+        idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
+        np.testing.assert_array_equal(np.asarray(got), vals[:, idx].T)
+
+    def test_tree_roundtrip_and_vmap(self):
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.ops.pallas_resample import resample_take_tree
+        rng = np.random.default_rng(1)
+        b, n = 3, 512
+        w = jnp.asarray(rng.random((b, n)), jnp.float32)
+        u = jnp.asarray(rng.random((b, n)), jnp.float32)
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.standard_normal((b, n)), jnp.float32),
+            jnp.asarray(rng.standard_normal((b, n)), jnp.float32),
+            jnp.asarray(rng.uniform(-3, 3, (b, n)), jnp.float32),
+        )
+        f = jax.vmap(lambda w, u, s: resample_take_tree(w, u, s, interpret=True))
+        out = f(w, u, states)
+        # every output state is an exact copy of some input state
+        for bi in range(b):
+            # oracle cdf must use XLA's cumsum (numpy's pairwise summation
+            # rounds differently and flips exact-boundary picks)
+            c = jnp.cumsum(w[bi])
+            cdf = np.asarray(c / jnp.maximum(c[-1], 1e-38))
+            idx = np.clip(np.searchsorted(cdf, np.asarray(u[bi]), "right"), 0, n - 1)
+            np.testing.assert_array_equal(np.asarray(out.x[bi]), np.asarray(states.x[bi])[idx])
+            np.testing.assert_array_equal(
+                np.asarray(out.rot.cos[bi]), np.asarray(states.rot.cos[bi])[idx])
