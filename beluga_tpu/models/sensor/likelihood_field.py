@@ -208,9 +208,19 @@ def likelihood_field_weights_codebook(
     XLA scan formulation.
     """
     from beluga_tpu.ops.gather2d import _codebook_lookup
-    from beluga_tpu.ops.pallas_lookup import pallas_codebook_lookup
 
+    codes, book = codes_book
     tf = field.world_to_field @ states
+    if jax.default_backend() == "tpu":
+        # one kernel for transform + lookup + decode + pz^3 reduce — the
+        # only HBM traffic is 16 B in / 4 B out per particle.  Weight
+        # differs from the XLA path only in the f32 beam-sum order (~1e-5).
+        from beluga_tpu.ops.pallas_reweight import fused_reweight
+
+        return fused_reweight(
+            codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin,
+            points, beam_mask, field.resolution, field.unknown_prob,
+        )
     cos = tf.rot.cos[:, None]
     sin = tf.rot.sin[:, None]
     px, py = points[None, :, 0], points[None, :, 1]
@@ -220,11 +230,7 @@ def likelihood_field_weights_codebook(
     xi = jnp.floor(x / field.resolution).astype(jnp.int32)
     yi = jnp.floor(y / field.resolution).astype(jnp.int32)
     inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    codes, book = codes_book
-    if jax.default_backend() == "tpu":
-        vals = pallas_codebook_lookup(codes, book, yi, xi)
-    else:
-        vals = _codebook_lookup(codes, book, yi, xi)
+    vals = _codebook_lookup(codes, book, yi, xi)
     pz = jnp.where(inside, vals, field.unknown_prob)
     return 1.0 + jnp.sum(jnp.where(beam_mask[None, :], pz * pz * pz, 0.0), axis=-1)
 

@@ -261,3 +261,31 @@ class TestCodebook:
         got = pallas_codebook_lookup(codes, book, yi, xi, interpret=True)
         want = table_lookup(field.values, yi, xi, mode="gather")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_reweight_kernel_interpret(self):
+        """The fully-fused reweight kernel matches the XLA codebook path."""
+        from beluga_tpu.filters.builders import _make_field_codes
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.models.sensor.likelihood_field import (
+            likelihood_field_weights,
+        )
+        from beluga_tpu.ops.pallas_reweight import fused_reweight
+
+        grid, params, field = self._field_setup()
+        codes, book = _make_field_codes(field, params, grid)
+        rng = np.random.default_rng(11)
+        n, b = 130, 17  # non-multiples exercise padding
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(0.3, 4.5, n), jnp.float32),
+            jnp.asarray(rng.uniform(0.3, 4.5, n), jnp.float32),
+            jnp.asarray(rng.uniform(-3.2, 3.2, n), jnp.float32),
+        )
+        pts = jnp.asarray(rng.uniform(-3, 3, (b, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random(b) < 0.9)
+        tf = field.world_to_field @ states
+        got = fused_reweight(
+            codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin,
+            pts, mask, field.resolution, field.unknown_prob, interpret=True,
+        )
+        want = likelihood_field_weights(field, states, pts, mask, lookup_mode="gather")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-5)
