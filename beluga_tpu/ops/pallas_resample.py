@@ -37,6 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _CHUNK = 512  # positions per inner step
+_MBLK = 8192  # positions per pallas program (the grid axis)
+_NBLK = 2048  # particle-axis block (bounds the [NBLK, C] interval mask)
 
 
 def _split3(x: Array) -> Array:
@@ -48,29 +50,94 @@ def _split3(x: Array) -> Array:
     return jnp.concatenate([hi, mid, lo], axis=-2)
 
 
-def _kernel(cdf_ref, cdf_prev_ref, u_ref, vals_ref, out_ref):
-    n = cdf_ref.shape[1]
-    d3 = vals_ref.shape[0]
-    d = d3 // 3
-    m = u_ref.shape[1]
+def _make_kernel_small(n_real: int):
+    """Single-program kernel for small filters (n <= 2 * _NBLK): full
+    interval mask per position chunk, static loop bounds (the dynamic
+    block-range bookkeeping of the big-N kernel costs ~10% at fleet size)."""
 
-    cdf_col = cdf_ref[0, :][:, None]  # [N, 1]
-    prev_col = cdf_prev_ref[0, :][:, None]
-    is_last = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == n - 1
-    vals = vals_ref[:]  # [3D, N]
+    def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref):
+        del bounds_ref
+        n = cdf_ref.shape[1]
+        d3 = vals_ref.shape[0]
+        d = d3 // 3
+        m = u_ref.shape[1]
 
-    def chunk(c, _):
-        u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
-        mask = (u >= prev_col) & ((u < cdf_col) | is_last)  # [N, C]
-        picked = jnp.dot(
-            vals, mask.astype(vals.dtype), preferred_element_type=jnp.float32
-        )  # [3D, C]
-        out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
-            picked[:d] + picked[d : 2 * d] + picked[2 * d :]
-        )
-        return 0
+        cdf_col = cdf_ref[0, :][:, None]  # [N, 1]
+        prev_col = cdf_prev_ref[0, :][:, None]
+        is_last = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == n_real - 1
+        vals = vals_ref[:]  # [3D, N]
 
-    jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+        def chunk(c, _):
+            u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
+            mask = (u >= prev_col) & ((u < cdf_col) | is_last)  # [N, C]
+            picked = jnp.dot(
+                vals, mask.astype(vals.dtype), preferred_element_type=jnp.float32
+            )  # [3D, C]
+            out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
+                picked[:d] + picked[d : 2 * d] + picked[2 * d :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+
+    return _kernel
+
+
+def _make_kernel(n_real: int):
+    """Kernel over padded arrays; ``n_real`` is the true particle count
+    (the open-ended last CDF interval sits at index n_real - 1)."""
+
+    def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref):
+        n = cdf_ref.shape[1]
+        d3 = vals_ref.shape[0]
+        d = d3 // 3
+        m = u_ref.shape[1]
+        n_blocks = n // _NBLK
+
+        # block boundaries: cdf value at the end of each particle block
+        # (computed by the caller); a position chunk only needs the blocks
+        # spanning [min u, max u], so sorted positions (systematic/
+        # stratified) cost O(N + M) blocks total instead of O(N * M / chunk)
+        bounds = bounds_ref[0, :][None, :]
+
+        def chunk(c, _):
+            u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
+            u_min = jnp.min(u)
+            u_max = jnp.max(u)
+            lob = jnp.sum((bounds < u_min).astype(jnp.int32))
+            hib = jnp.minimum(
+                jnp.sum((bounds <= u_max).astype(jnp.int32)) + 1, n_blocks
+            )
+
+            def nblock(b, acc):
+                # particle-axis blocking keeps the mask at [NBLK, C] so VMEM
+                # stays bounded for any N (262k+ particles spill otherwise)
+                cdf_b = cdf_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
+                prev_b = cdf_prev_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
+                gidx = b * _NBLK + jax.lax.broadcasted_iota(
+                    jnp.int32, (_NBLK, 1), 0
+                )
+                is_last = gidx == n_real - 1
+                mask = (u >= prev_b) & ((u < cdf_b) | is_last)  # [NBLK, C]
+                vals_b = vals_ref[:, pl.ds(b * _NBLK, _NBLK)]
+                return acc + jnp.dot(
+                    vals_b, mask.astype(vals_b.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+
+            picked = jax.lax.fori_loop(
+                lob, hib, nblock, jnp.zeros((d3, _CHUNK), jnp.float32)
+            )  # [3D, C]
+            # the open-ended last interval (u >= cdf[-1]) lives in the block
+            # of n_real - 1, which [lob, hib) covers since bounds[-1] = 1
+            out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
+                picked[:d] + picked[d : 2 * d] + picked[2 * d :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+
+    return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -91,30 +158,55 @@ def resample_take(
     d = values.shape[0]
     m_pad = -(-m // _CHUNK) * _CHUNK
     if m_pad != m:
-        # padded positions land in the clipped last interval and are sliced off
+        # padded positions never select a donor (cdf pads at 2.0, u pads at
+        # 1.5) and their zero rows are sliced off below
         positions = jnp.pad(positions, (0, m_pad - m), constant_values=1.5)
 
     c = jnp.cumsum(weights.astype(jnp.float32))
     cdf = c / jnp.maximum(c[-1], 1e-38)
     cdf_prev = jnp.pad(cdf[:-1], (1, 0))
 
+    # pad the particle axis to the kernel's block size; padded CDF entries
+    # sit at 2.0 so no position (u < 1.5) ever selects them
+    n_pad = -(-n // _NBLK) * _NBLK
+    cdf = jnp.pad(cdf, (0, n_pad - n), constant_values=2.0)
+    cdf_prev = jnp.pad(cdf_prev, (0, n_pad - n), constant_values=2.0)
+
     d_pad = -(-d // 8) * 8
-    vals3 = _split3(jnp.pad(values, ((0, d_pad - d), (0, 0))))  # [3D', N]
+    vals3 = _split3(
+        jnp.pad(values, ((0, d_pad - d), (0, n_pad - n)))
+    )  # [3D', N']
     if interpret:  # CPU has no bf16 matmul: keep planes, compute in f32
         vals3 = vals3.astype(jnp.float32)
 
+    # grid over position blocks: bounds VMEM to the CDF/value planes plus
+    # one [d_pad, mblk] output tile (262k-particle filters fit in ~15 MB);
+    # small filters keep a single block so no position is padded twice
+    mblk = min(_MBLK, m_pad)
+    mg = -(-m_pad // mblk) * mblk
+    if mg != m_pad:
+        positions = jnp.pad(positions, (0, mg - m_pad), constant_values=1.5)
+    n_blocks = n_pad // _NBLK
+    bounds = cdf.reshape(n_blocks, _NBLK)[:, -1]
+    small = n_pad <= 2 * _NBLK
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel_small(n) if small else _make_kernel(n),
+        grid=(mg // mblk,),
         in_specs=[
-            pl.BlockSpec((1, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * d_pad, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3 * d_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((d_pad, m_pad), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d_pad, m_pad), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (d_pad, mblk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d_pad, mg), jnp.float32),
         interpret=interpret,
-    )(cdf[None, :], cdf_prev[None, :], positions[None, :], vals3)
+    )(cdf[None, :], cdf_prev[None, :], positions[None, :], bounds[None, :], vals3)
     return out[:d, :m].T
 
 
