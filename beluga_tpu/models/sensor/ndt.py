@@ -113,9 +113,7 @@ def _kernel_likelihood(ndt_map: NdtMap, params, meas_mean, meas_cov, kernel):
     d = meas_mean.shape[-1]
     center = ndt_map.cell_near(meas_mean)  # [..., D]
     cells = center[..., None, :] + jnp.asarray(kernel)  # [..., K, D]
-    idx, found = ndt_map.lookup(cells)  # [..., K]
-    map_mean = ndt_map.means[idx]  # [..., K, D]
-    map_cov = ndt_map.covs[idx]  # [..., K, D, D]
+    map_mean, map_cov, found = ndt_map.lookup_gaussians(cells)  # [..., K, ...]
 
     err = meas_mean[..., None, :] - map_mean  # [..., K, D]
     total_cov = meas_cov[..., None, :, :] + map_cov

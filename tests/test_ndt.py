@@ -168,3 +168,28 @@ class TestNdtModel3d:
         )
         assert np.isfinite(float(w[0]))
         assert float(w[0]) > 1.0
+
+
+def test_lookup_gaussians_onehot_matches_gather():
+    """The TPU one-hot probe reproduces searchsorted+gather (CPU check)."""
+    from beluga_tpu.maps.ndt import make_ndt_map
+
+    rng = np.random.default_rng(0)
+    cells = rng.integers(-40, 40, (60, 2)).astype(np.int32)
+    cells = np.unique(cells, axis=0)
+    m = cells.shape[0]
+    means = rng.standard_normal((m, 2)).astype(np.float32)
+    covs = np.einsum("mab,mcb->mac",
+                     rng.standard_normal((m, 2, 2)).astype(np.float32),
+                     rng.standard_normal((m, 2, 2)).astype(np.float32))
+    covs += 0.1 * np.eye(2, dtype=np.float32)
+    nm = make_ndt_map(cells, means, covs, 0.5)
+
+    q = jnp.asarray(rng.integers(-42, 42, (9, 7, 2)), jnp.int32)
+    gm, gc, gf = nm.lookup_gaussians(q)            # gather path on CPU
+    om, oc, of = nm._lookup_gaussians_onehot(q)    # force the one-hot path
+    np.testing.assert_array_equal(np.asarray(of), np.asarray(gf))
+    np.testing.assert_allclose(
+        np.asarray(om)[np.asarray(of)], np.asarray(gm)[np.asarray(gf)], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(oc)[np.asarray(of)], np.asarray(gc)[np.asarray(gf)], atol=1e-4)
