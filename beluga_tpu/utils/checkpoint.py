@@ -46,3 +46,25 @@ def load_state(path: str, template: Any) -> Any:
             )
         leaves.append(jax.numpy.asarray(arr.astype(t.dtype)))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_state_sharded(path: str, state: Any) -> None:
+    """Orbax checkpoint of a (possibly sharded) filter state.
+
+    Unlike :func:`save_state`, arrays are written per-shard without
+    gathering to one host — the right tool for mega filters and fleets
+    sharded across a pod (each host writes only its shards).  ``path``
+    must be an absolute directory path.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree_util.tree_map(lambda x: x, state), force=True)
+
+
+def load_state_sharded(path: str, template: Any) -> Any:
+    """Restore an orbax checkpoint, resharding onto ``template``'s layout."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)

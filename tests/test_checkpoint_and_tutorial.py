@@ -73,3 +73,40 @@ def test_tutorial_converges():
 
     tail = main()
     assert tail < 1.0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax per-shard checkpoint of a mesh-sharded fleet state."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from beluga_tpu.core.random import sample_normal_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state
+    from beluga_tpu.lie import SE2
+    from beluga_tpu.parallel.fleet import shard_fleet
+    from beluga_tpu.utils.checkpoint import load_state_sharded, save_state_sharded
+
+    params = AmclParams(max_particles=64, min_particles=16)
+
+    @jax.jit
+    def init(keys):
+        def one(key):
+            k1, k2 = jax.random.split(key)
+            states = sample_normal_se2(
+                k1, 64, SE2.from_xytheta(1.0, 1.0, 0.0), jnp.eye(3) * 0.1
+            )
+            return init_state(k2, states, params)
+
+        return jax.vmap(one)(keys)
+
+    state = init(jax.random.split(jax.random.PRNGKey(0), 4))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    state = shard_fleet(mesh, state)
+
+    path = str(tmp_path / "ckpt")
+    save_state_sharded(path, state)
+    restored = load_state_sharded(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding == a.sharding
