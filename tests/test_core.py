@@ -203,3 +203,17 @@ class TestTreeUtils:
         b = SE2.from_xytheta(jnp.zeros(3), jnp.zeros(3), jnp.zeros(3))
         out = tree_where(jnp.asarray([True, False, True]), a, b)
         np.testing.assert_allclose(out.x, [1.0, 0.0, 1.0])
+
+
+def test_distinct_prefix_triangular_matches_sort():
+    from beluga_tpu.algorithms.kld import (
+        _distinct_prefix_count_triangular,
+        distinct_prefix_count,
+    )
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.integers(0, 40, 700), jnp.uint32)  # many duplicates
+    np.testing.assert_array_equal(
+        np.asarray(_distinct_prefix_count_triangular(h)),
+        np.asarray(distinct_prefix_count(h)),
+    )
