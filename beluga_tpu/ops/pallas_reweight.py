@@ -1,4 +1,4 @@
-"""Fully-fused Pallas likelihood-field reweight kernel.
+"""Fully-fused Pallas likelihood-field reweight kernel with adaptive windows.
 
 One kernel performs the whole per-(particle, beam) chain of
 sensor/likelihood_field_model.hpp:68-91:
@@ -6,18 +6,32 @@ sensor/likelihood_field_model.hpp:68-91:
     endpoint transform -> cell index -> code-table lookup (int8 MXU)
     -> codebook decode -> out-of-map fallback -> ``1 + sum(pz^3)``
 
-The partially-fused path (ops/pallas_lookup.py) still materializes the
-``[N, B]`` query indices and looked-up values in HBM (~500 MB per bench
-reweight); here the only HBM traffic is the particle transforms in
-(16 B/particle) and the weights out (4 B/particle).
+The only HBM traffic is the particle transforms in (16 B/particle) and the
+weights out (4 B/particle).
+
+**Adaptive windows.** The one-hot lookup costs (window area) MACs per
+query.  Every beam endpoint lies within ``R = max |p|`` of its particle, so
+each particle tile's queries live in a rectangle of the code table that the
+kernel bounds from the tile's (tx, ty) extremes — converged clouds (normal
+tracking) fit a 128x256 window (4.5x fewer MACs than the full 384^2
+table), mid-spread clouds fit 256x256 (2.25x), and diverged clouds
+(global localization) fall back to the full table.  The tier decision is
+*per program* via ``pl.when`` — real branching per particle tile, even
+inside a vmapped fleet (a ``lax.cond`` at the filter level would lower to
+select under vmap and execute every branch).
+
+Out-of-map queries may clip outside the window: their looked-up value is
+garbage but is always replaced by ``unknown_prob`` through the inside
+mask, so window coverage only has to hold for in-map cells — which the
+conservative bound guarantees.
 
 Arithmetic order matches the XLA path bit-for-bit: ``x = px*cos - py*sin
 + tx`` then ``floor(x / res)``, int8 code select with integer
 accumulation, decode by codebook value.
 
-Particles ride the lane axis in tiles of ``_TILE``; beams are a
-fori_loop with the beam endpoint read from SMEM.  One filter per call —
-fleets ``vmap`` it (codes/book broadcast unbatched).
+Particles ride the lane axis in tiles of ``_TILE``; beams are a fori_loop
+with the beam endpoint read from SMEM.  One filter per call — fleets
+``vmap`` it (codes/book broadcast unbatched).
 """
 
 from __future__ import annotations
@@ -32,90 +46,122 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _TILE = 4096  # particles per program (lane axis)
+# (WW, WH) window tiers, largest first margin requirements:
+#   x origin aligns to 8 sublanes, y origin to 128 lanes
+# descending MAC cost; the kernel picks the cheapest tier that covers the
+# tile (y windows are 128-lane-aligned, so spans over ~129 cells need the
+# full-height tiers)
+_TIERS = ((256, 384), (256, 256), (128, 384), (128, 256))
 
 
-def _kernel(scalars_ref, points_ref, tx_ref, ty_ref, cos_ref, sin_ref,
-            codes_t_ref, book_ref, out_ref):
-    t = tx_ref.shape[1]
-    w, h = codes_t_ref.shape
-    num_beams = points_ref.shape[1]
+def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool):
+    """``h, w`` are the REAL map dims (the inside test); the code table may
+    be padded to (8, 128)-aligned ``wp, hp`` — in-map queries never touch
+    the padding and out-of-map values are replaced by ``unknown``."""
 
-    res = scalars_ref[0, 0]
-    unknown = scalars_ref[0, 1]
+    def kernel(scalars_ref, points_ref, tx_ref, ty_ref, cos_ref, sin_ref,
+               codes_t_ref, book_ref, out_ref):
+        wp, hp = codes_t_ref.shape
+        tiers = [(ww, wh) for ww, wh in _TIERS if ww <= wp and wh <= hp]
+        t = tx_ref.shape[1]
+        res = scalars_ref[0, 0]
+        unknown = scalars_ref[0, 1]
+        radius = scalars_ref[0, 2]  # max |beam endpoint| over valid beams
 
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, t), 0)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (book_ref.shape[0], t), 0)
+        tx = tx_ref[0, :][None, :]
+        ty = ty_ref[0, :][None, :]
+        cos = cos_ref[0, :][None, :]
+        sin = sin_ref[0, :][None, :]
+        book = book_ref[:]
 
-    tx = tx_ref[0, :][None, :]
-    ty = ty_ref[0, :][None, :]
-    cos = cos_ref[0, :][None, :]
-    sin = sin_ref[0, :][None, :]
-    codes_t = codes_t_ref[:]
-    book = book_ref[:]
+        # conservative cell bounds of every query in this tile
+        x_lo = jnp.floor((jnp.min(tx) - radius) / res).astype(jnp.int32)
+        x_hi = jnp.floor((jnp.max(tx) + radius) / res).astype(jnp.int32)
+        y_lo = jnp.floor((jnp.min(ty) - radius) / res).astype(jnp.int32)
+        y_hi = jnp.floor((jnp.max(ty) + radius) / res).astype(jnp.int32)
 
-    def beam(b, acc):
-        px = points_ref[0, b]
-        py = points_ref[1, b]
-        bm = points_ref[2, b]  # beam mask as 0/1 f32
-        x = px * cos - py * sin + tx  # [1, T]
-        y = px * sin + py * cos + ty
-        xi = jnp.floor(x / res).astype(jnp.int32)
-        yi = jnp.floor(y / res).astype(jnp.int32)
-        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        yic = jnp.clip(yi, 0, h - 1)
-        xic = jnp.clip(xi, 0, w - 1)
-        oh = (yic == iota_h).astype(jnp.int8)
-        rows = jax.lax.dot(codes_t, oh, preferred_element_type=jnp.int32)
-        code = jnp.sum(jnp.where(xic == iota_w, rows, 0), axis=0, keepdims=True) + 128
-        val = jnp.sum(jnp.where(code == iota_c, book, 0.0), axis=0, keepdims=True)
-        pz = jnp.where(inside, val, unknown)
-        return acc + bm * (pz * pz * pz)
+        def run(ww, wh, x0, y0):
+            """Accumulate weights against the (x0, y0)+(ww, wh) window."""
+            iota_w_win = jax.lax.broadcasted_iota(jnp.int32, (ww, t), 0)
+            iota_h_win = jax.lax.broadcasted_iota(jnp.int32, (wh, t), 0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_book, t), 0)
+            if ww == wp and wh == hp:
+                codes_win = codes_t_ref[:]
+            else:
+                codes_win = codes_t_ref[pl.ds(x0, ww), pl.ds(y0, wh)]
 
-    acc = jax.lax.fori_loop(
-        0, num_beams, beam, jnp.zeros((1, t), jnp.float32)
-    )
-    out_ref[:] = 1.0 + acc
+            def beam(b, acc):
+                px = points_ref[0, b]
+                py = points_ref[1, b]
+                bm = points_ref[2, b]  # beam mask as 0/1 f32
+                x = px * cos - py * sin + tx  # [1, T]
+                y = px * sin + py * cos + ty
+                xi = jnp.floor(x / res).astype(jnp.int32)
+                yi = jnp.floor(y / res).astype(jnp.int32)
+                inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                ohw = jnp.clip(yi, 0, h - 1) - y0
+                ohx = jnp.clip(xi, 0, w - 1) - x0
+                if int8_path:
+                    oh = (ohw == iota_h_win).astype(jnp.int8)
+                    rows = jax.lax.dot(
+                        codes_win, oh, preferred_element_type=jnp.int32
+                    )  # [WW, T]
+                    code = jnp.sum(
+                        jnp.where(ohx == iota_w_win, rows, 0),
+                        axis=0, keepdims=True,
+                    ) + 128
+                else:
+                    oh = (ohw == iota_h_win).astype(jnp.float32)
+                    rows = jnp.dot(
+                        codes_win, oh, preferred_element_type=jnp.float32
+                    )
+                    code = jnp.sum(
+                        jnp.where(ohx == iota_w_win, rows, 0.0),
+                        axis=0, keepdims=True,
+                    ).astype(jnp.int32)
+                val = jnp.sum(
+                    jnp.where(code == iota_c, book, 0.0), axis=0, keepdims=True
+                )
+                pz = jnp.where(inside, val, unknown)
+                return acc + bm * (pz * pz * pz)
 
+            acc = jax.lax.fori_loop(
+                0, num_beams, beam, jnp.zeros((1, t), jnp.float32)
+            )
+            out_ref[:] = 1.0 + acc
 
-def _kernel_f32(scalars_ref, points_ref, tx_ref, ty_ref, cos_ref, sin_ref,
-                codes_t_ref, book_ref, out_ref):
-    # interpret-mode variant: f32 one-hot dot (CPU lacks int8 MXU lowering)
-    t = tx_ref.shape[1]
-    w, h = codes_t_ref.shape
-    num_beams = points_ref.shape[1]
-    res = scalars_ref[0, 0]
-    unknown = scalars_ref[0, 1]
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, t), 0)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (book_ref.shape[0], t), 0)
-    tx = tx_ref[0, :][None, :]
-    ty = ty_ref[0, :][None, :]
-    cos = cos_ref[0, :][None, :]
-    sin = sin_ref[0, :][None, :]
+        # tier selection: smallest window whose aligned origin still covers
+        # the in-map part of [lo, hi]
+        conds = []
+        for ww, wh in tiers:
+            # clip bounds are multiples of the alignment (w, h and the tier
+            # sizes all are); pl.multiple_of makes that provable for Mosaic
+            x0 = pl.multiple_of(jnp.clip((x_lo // 8) * 8, 0, wp - ww), 8)
+            y0 = pl.multiple_of(jnp.clip((y_lo // 128) * 128, 0, hp - wh), 128)
+            fits = (
+                (jnp.maximum(x_lo, 0) >= x0)
+                & (jnp.minimum(x_hi, w - 1) < x0 + ww)
+                & (jnp.maximum(y_lo, 0) >= y0)
+                & (jnp.minimum(y_hi, h - 1) < y0 + wh)
+            )
+            conds.append((fits, ww, wh, x0, y0))
 
-    def beam(b, acc):
-        px = points_ref[0, b]
-        py = points_ref[1, b]
-        bm = points_ref[2, b]
-        x = px * cos - py * sin + tx
-        y = px * sin + py * cos + ty
-        xi = jnp.floor(x / res).astype(jnp.int32)
-        yi = jnp.floor(y / res).astype(jnp.int32)
-        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        oh = (jnp.clip(yi, 0, h - 1) == iota_h).astype(jnp.float32)
-        rows = jnp.dot(codes_t_ref[:], oh, preferred_element_type=jnp.float32)
-        code = jnp.sum(
-            jnp.where(jnp.clip(xi, 0, w - 1) == iota_w, rows, 0.0),
-            axis=0, keepdims=True,
-        ).astype(jnp.int32)
-        val = jnp.sum(jnp.where(code == iota_c, book_ref[:], 0.0),
-                      axis=0, keepdims=True)
-        pz = jnp.where(inside, val, unknown)
-        return acc + bm * (pz * pz * pz)
+        taken = jnp.asarray(False)
+        for i, (fits, ww, wh, x0, y0) in enumerate(reversed(conds)):
+            # smallest tier first; each tier runs only if no smaller one fit
+            use = fits & ~taken
 
-    acc = jax.lax.fori_loop(0, num_beams, beam, jnp.zeros((1, t), jnp.float32))
-    out_ref[:] = 1.0 + acc
+            @pl.when(use)
+            def _(ww=ww, wh=wh, x0=x0, y0=y0):
+                run(ww, wh, x0, y0)
+
+            taken = taken | fits
+
+        @pl.when(~taken)
+        def _():
+            run(wp, hp, jnp.int32(0), jnp.int32(0))
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -147,33 +193,47 @@ def fused_reweight(
     n_pad = -(-n // _TILE) * _TILE
 
     def pad(v):
-        return jnp.pad(v.astype(jnp.float32), (0, n_pad - n))[None, :]
+        # edge-pad so the last tile's window bounds aren't widened to 0
+        return jnp.pad(v.astype(jnp.float32), (0, n_pad - n), mode="edge")[None, :]
 
     pts = jnp.stack(
         [points[:, 0], points[:, 1], beam_mask.astype(jnp.float32)], axis=0
     )  # [3, B]
+    radius = jnp.max(
+        jnp.where(beam_mask, jnp.hypot(points[:, 0], points[:, 1]), 0.0)
+    )
     scalars = jnp.stack(
-        [resolution.astype(jnp.float32), unknown_prob.astype(jnp.float32)]
-    )[None, :]  # [1, 2]
+        [
+            resolution.astype(jnp.float32),
+            unknown_prob.astype(jnp.float32),
+            radius.astype(jnp.float32),
+        ]
+    )[None, :]  # [1, 3]
 
     if interpret:
         codes_t = codes.T.astype(jnp.float32)
-        kernel = _kernel_f32
     else:
+        # int8 x int8 -> int32 one-hot select: 2x the bf16 MXU rate on v5e
+        # and integer-exact; interpret mode (CPU tests) lacks the int8 dot
         codes_t = (codes.T.astype(jnp.int32) - 128).astype(jnp.int8)
-        kernel = _kernel
+    # pad the table so window origins can align to (8, 128); the inside
+    # test keeps the real dims, so padding values are never observed
+    wq = -(-w // 8) * 8
+    hq = -(-h // 128) * 128
+    codes_t = jnp.pad(codes_t, ((0, wq - w), (0, hq - h)))
+    kernel = _make_kernel(h, w, k, nb, int8_path=not interpret)
 
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _TILE,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, nb), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wq, hq), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
