@@ -91,7 +91,7 @@ def _sharded_estimate_se2(states: SE2, w: Array, axis: str):
 
 
 def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
-                     axis: str = "tp"):
+                     axis: str = "tp", estimate_fn=None):
     """Full AMCL update for one particle-sharded filter.
 
     Returns ``update(ctx, state, odom_pose, points, beam_mask) ->
@@ -99,7 +99,13 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
     ``P(axis)`` on ``mesh`` and everything else is replicated.  Resampling
     is globally stratified systematic (each shard draws the positions of
     its own output slots from the global CDF).
+
+    ``estimate_fn(states_local, weights_local, axis) -> (pose, cov)`` must
+    reduce with collectives over ``axis``; the default is the SE2 estimate
+    (pass an SE3 variant for 3D mega filters).
     """
+    if estimate_fn is None:
+        estimate_fn = _sharded_estimate_se2
     num_shards = mesh.shape[axis]
     n_total = params.max_particles
     assert n_total % num_shards == 0, "max_particles must divide the mesh axis"
@@ -209,7 +215,7 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
 
             out_mask = global_slots < out_active
             w_lin = jnp.where(out_mask, jnp.exp(out_log_w), 0.0)
-            mean, cov = _sharded_estimate_se2(cand, w_lin, axis)
+            mean, cov = estimate_fn(cand, w_lin, axis)
 
             new_state = state._replace(
                 particles=ParticleSet(cand, out_log_w, out_active),
@@ -227,7 +233,7 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                 global_slots < state.particles.active,
                 jnp.exp(state.particles.log_weight), 0.0,
             )
-            mean, cov = _sharded_estimate_se2(state.particles.state, w, axis)
+            mean, cov = estimate_fn(state.particles.state, w, axis)
             return state, Estimate(mean, cov, jnp.asarray(False))
 
         return jax.lax.cond(do_update, heavy, skip, state)

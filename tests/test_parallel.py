@@ -167,3 +167,36 @@ class TestPallasResample:
             np.testing.assert_array_equal(np.asarray(out.x[bi]), np.asarray(states.x[bi])[idx])
             np.testing.assert_array_equal(
                 np.asarray(out.rot.cos[bi]), np.asarray(states.rot.cos[bi])[idx])
+
+    def test_blocked_kernel_path_large_n(self):
+        """n > 2 * _NBLK exercises the particle-axis-blocked kernel with the
+        CDF block-range restriction (the mega-filter path)."""
+        from beluga_tpu.ops import pallas_resample as pr
+
+        rng = np.random.default_rng(3)
+        n, m, d = 3 * pr._NBLK + 77, 600, 3  # odd sizes exercise padding
+        w = rng.random(n).astype(np.float32)
+        w[n - 500:] = 0.0
+        u = np.sort(rng.random(m).astype(np.float32))  # sorted = systematic-like
+        vals = (rng.standard_normal((d, n)) * 5).astype(np.float32)
+        got = pr.resample_take(jnp.asarray(w), jnp.asarray(u), jnp.asarray(vals),
+                               interpret=True)
+        c = jnp.cumsum(jnp.asarray(w))
+        cdf = np.asarray(c / jnp.maximum(c[-1], 1e-38))
+        idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
+        np.testing.assert_array_equal(np.asarray(got), vals[:, idx].T)
+
+    def test_blocked_kernel_unsorted_positions(self):
+        from beluga_tpu.ops import pallas_resample as pr
+
+        rng = np.random.default_rng(4)
+        n, m = 2 * pr._NBLK + 1, 512
+        w = rng.random(n).astype(np.float32)
+        u = rng.random(m).astype(np.float32)  # unsorted (multinomial-like)
+        vals = rng.standard_normal((1, n)).astype(np.float32)
+        got = pr.resample_take(jnp.asarray(w), jnp.asarray(u), jnp.asarray(vals),
+                               interpret=True)
+        c = jnp.cumsum(jnp.asarray(w))
+        cdf = np.asarray(c / jnp.maximum(c[-1], 1e-38))
+        idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
+        np.testing.assert_array_equal(np.asarray(got), vals[:, idx].T)
