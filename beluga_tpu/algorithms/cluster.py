@@ -141,9 +141,9 @@ def cluster_based_estimate(
     # dominates: higher weight, or equal weight with lower rank
     self_w, self_r = cell_w[:, None], rank[:, None]
     dominates = (nw > self_w) | ((nw == self_w) & (nr < self_r))
-    # pick the dominating neighbor with best (weight, -rank)
-    score = jnp.where(dominates, nw.astype(jnp.float64) if False else nw, -jnp.inf)
-    # lexicographic (weight, -rank): combine via argmax over weight then rank
+    # pick the dominating neighbor with best (weight, -rank); the tiny rank
+    # penalty makes the argmax lexicographic on equal weights
+    score = jnp.where(dominates, nw, -jnp.inf)
     best = jnp.argmax(score - nr.astype(jnp.float32) * 1e-9, axis=1)
     has_parent = jnp.any(dominates, axis=1)
     parent = jnp.where(
