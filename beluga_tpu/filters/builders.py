@@ -236,12 +236,16 @@ def make_beam_filter(
     use_range_lut: bool = False,
     n_bearings: int = 128,
     use_cluster_estimate: bool = False,
+    use_sphere_trace: bool = False,
 ):
     """Assemble the beam-model AMCL configuration.
 
-    ``use_range_lut=True`` precomputes the per-map CDDT-style range LUT
-    (models/sensor/beam_lut.py) so each beam costs a lookup instead of a
-    ray march; the exact path ray-marches with the lock-step Bresenham.
+    Fast paths (both opt-in; the exact path ray-marches with the lock-step
+    Bresenham):
+      * ``use_range_lut=True`` — per-map CDDT-style range LUT, one lookup
+        per beam (bearing-quantization error);
+      * ``use_sphere_trace=True`` — fused Pallas kernel marching the EDT
+        (no LUT build, no serialized gathers; ~1-cell range error).
     Returns ``(models, ctx)``.
     """
     from beluga_tpu.models.sensor.beam import BeamModelParams, beam_log_weights
@@ -249,7 +253,20 @@ def make_beam_filter(
     beam_params = beam_params or BeamModelParams()
     res_hint = grid.resolution_hint
 
-    if use_range_lut:
+    if use_sphere_trace:
+        from beluga_tpu.models.sensor.beam import beam_sphere_trace_log_weights
+        from beluga_tpu.ops.pallas_beam import make_distance_cells
+
+        interpret = jax.default_backend() != "tpu"
+
+        def log_weight(ctx, states, points, beam_mask):
+            return beam_sphere_trace_log_weights(
+                beam_params, ctx["beam_dist"], ctx["grid"], states, points,
+                beam_mask, interpret=interpret,
+            )
+
+        ctx = {"grid": grid, "beam_dist": make_distance_cells(grid.free_mask)}
+    elif use_range_lut:
         from beluga_tpu.models.sensor.beam_lut import beam_lut_weights, build_range_lut
 
         lut = build_range_lut(

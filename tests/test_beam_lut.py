@@ -128,3 +128,74 @@ def test_beam_lut_filter_end_to_end(world):
     assert bool(est.valid)
     err = np.hypot(float(est.pose.x) - true[0], float(est.pose.y) - true[1])
     assert err < 0.3, err
+
+
+class TestSphereTraceBeam:
+    """Opt-in sphere-tracing beam fast path (ops/pallas_beam.py)."""
+
+    def _world(self):
+        data = np.zeros((96, 96), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[40:46, 60:66] = OCCUPIED_VALUE
+        data[20:24, 20:30] = OCCUPIED_VALUE
+        return make_grid(data, 0.1)
+
+    def test_weights_track_exact_model(self):
+        from beluga_tpu.models.sensor.beam import (
+            BeamModelParams, beam_sphere_trace_log_weights, beam_weights)
+        from beluga_tpu.ops.pallas_beam import make_distance_cells
+
+        grid = self._world()
+        bp = BeamModelParams(beam_max_range=8.0)
+        dist = make_distance_cells(grid.free_mask)
+        rng = np.random.default_rng(0)
+        n, b = 60, 16
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(1.5, 8.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(1.5, 8.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(-3.14, 3.14, n), jnp.float32))
+        ang = np.linspace(-np.pi, np.pi, b, endpoint=False)
+        pts = jnp.asarray(
+            np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang)], -1), jnp.float32)
+        mask = jnp.ones(b, bool)
+        we = np.asarray(beam_weights(bp, grid, states, pts, mask,
+                                     resolution_hint=0.1))
+        ws = np.asarray(jnp.exp(beam_sphere_trace_log_weights(
+            bp, dist, grid, states, pts, mask, interpret=True)))
+        # approximate contract: high rank agreement, bounded relative error
+        rel = np.abs(ws - we) / np.maximum(we, 1e-6)
+        assert np.median(rel) < 0.15
+        # Spearman without scipy: correlation of rank vectors
+        ra = np.argsort(np.argsort(we)).astype(np.float64)
+        rb = np.argsort(np.argsort(ws)).astype(np.float64)
+        rho = np.corrcoef(ra, rb)[0, 1]
+        assert rho > 0.95, rho
+
+    def test_filter_tracks_with_sphere_trace(self):
+        from beluga_tpu.core.random import sample_normal_se2
+        from beluga_tpu.filters.amcl import AmclParams, init_state, update
+        from beluga_tpu.filters.builders import make_beam_filter
+        from beluga_tpu.io.replay import ScanSimulator, ScanSpec
+
+        grid = self._world()
+        models, ctx = make_beam_filter(grid, use_sphere_trace=True)
+        assert "beam_dist" in ctx
+        params = AmclParams(max_particles=256, min_particles=64)
+        true = (4.8, 4.8, 0.3)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        states = sample_normal_se2(
+            k1, 256, SE2.from_xytheta(*true), jnp.eye(3) * 0.04)
+        state = init_state(k2, states, params)
+        sim = ScanSimulator(grid, ScanSpec(num_beams=16, max_range=6.0,
+                                           max_beams=16))
+        d, hit = sim._cast(SE2.from_xytheta(*true))
+        ang = np.linspace(-np.pi, np.pi, 16, endpoint=False)
+        pts = jnp.asarray(np.stack([np.asarray(d) * np.cos(ang),
+                                    np.asarray(d) * np.sin(ang)], -1), jnp.float32)
+        mask = jnp.asarray(np.asarray(hit))
+        for _ in range(3):
+            state = state._replace(force_update=jnp.asarray(True))
+            state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        err = np.hypot(float(est.pose.x) - true[0], float(est.pose.y) - true[1])
+        assert err < 0.5, err
+        assert np.isfinite(np.asarray(state.particles.log_weight)).all()
