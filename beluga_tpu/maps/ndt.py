@@ -104,15 +104,10 @@ class NdtMap:
         return self._lookup_gaussians_onehot(cells)
 
     def _lookup_gaussians_onehot(self, cells: Array) -> tuple[Array, Array, Array]:
+        from beluga_tpu.ops.pallas_ndt import ndt_probe
+
         d = self.dim
         q = encode_cells(cells)  # u32[...]
-        shape = q.shape
-        qf = q.ravel()
-        n = qf.shape[0]
-        chunk = 1024
-        pad = -(-n // chunk) * chunk - n
-        qf = jnp.pad(qf, (0, pad), constant_values=jnp.uint32(0xFFFFFFFE))
-
         m = self.keys.shape[0]
         live = jnp.arange(m) < self.num_cells
         keys = jnp.where(live, self.keys, jnp.uint32(0xFFFFFFFF))
@@ -121,35 +116,23 @@ class NdtMap:
         # NDT likelihood tolerances are far looser than that)
         packed = jnp.concatenate(
             [self.means, self.covs.reshape(m, d * d)], axis=-1
-        )  # [M, D + D*D]
-        hi = packed.astype(jnp.bfloat16)
-        lo = (packed - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        planes = jnp.concatenate([hi, lo], axis=-1)  # [M, 2*(D+D*D)]
+        ).T  # [D + D*D, M]
+        hi = packed.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = packed - hi
+        planes = jnp.concatenate([hi, lo], axis=0)  # [2*(D+D*D), M]
 
-        def body(c, _):
-            qc = jax.lax.dynamic_slice(qf, (c * chunk,), (chunk,))
-            match = qc[:, None] == keys[None, :]  # [C, M]
-            found = jnp.any(match, axis=-1)
-            vals = jax.lax.dot(
-                match.astype(jnp.bfloat16), planes,
-                preferred_element_type=jnp.float32,
-            )  # [C, 2*(D+D*D)]
-            k = d + d * d
-            return c + 1, (vals[:, :k] + vals[:, k:], found)
-
-        _, (vals, found) = jax.lax.scan(
-            body, 0, None, length=(n + pad) // chunk
+        vals2, found = ndt_probe(
+            keys, planes, q, interpret=jax.default_backend() != "tpu"
         )
-        vals = vals.reshape(-1, d + d * d)[:n]
-        found = found.reshape(-1)[:n]
-        means = vals[:, :d].reshape(shape + (d,))
-        covs = vals[:, d:].reshape(shape + (d, d))
+        k = d + d * d
+        vals = vals2[..., :k] + vals2[..., k:]
+        means = vals[..., :d]
+        covs = vals[..., d:].reshape(q.shape + (d, d))
         # unfound queries fall back to cell 0's Gaussian like lookup();
         # callers mask by `found`
-        fb = found.reshape(shape)
-        means = jnp.where(fb[..., None], means, self.means[0])
-        covs = jnp.where(fb[..., None, None], covs, self.covs[0])
-        return means, covs, fb
+        means = jnp.where(found[..., None], means, self.means[0])
+        covs = jnp.where(found[..., None, None], covs, self.covs[0])
+        return means, covs, found
 
 
 def make_ndt_map(cells, means, covs, resolution: float) -> NdtMap:

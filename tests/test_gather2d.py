@@ -289,3 +289,37 @@ class TestCodebook:
         )
         want = likelihood_field_weights(field, states, pts, mask, lookup_mode="gather")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-5)
+
+    def test_fused_reweight_odd_map_dims(self):
+        """Maps whose dims aren't (8, 128) multiples exercise the pad path."""
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import (
+            LikelihoodFieldParams,
+            likelihood_field_weights,
+            make_likelihood_field,
+        )
+        from beluga_tpu.filters.builders import _make_field_codes
+        from beluga_tpu.ops.pallas_reweight import fused_reweight
+
+        data = np.zeros((75, 53), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[30:33, 20:24] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.1)
+        params = LikelihoodFieldParams()
+        field = make_likelihood_field(params, grid)
+        codes, book = _make_field_codes(field, params, grid)
+        rng = np.random.default_rng(3)
+        n, b = 90, 11
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(0.2, 5.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(0.2, 7.2, n), jnp.float32),
+            jnp.asarray(rng.uniform(-3.14, 3.14, n), jnp.float32))
+        pts = jnp.asarray(rng.uniform(-2, 2, (b, 2)), jnp.float32)
+        mask = jnp.ones(b, bool)
+        tf = field.world_to_field @ states
+        got = fused_reweight(codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin,
+                             pts, mask, field.resolution, field.unknown_prob,
+                             interpret=True)
+        want = likelihood_field_weights(field, states, pts, mask, lookup_mode="gather")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-5)
