@@ -35,12 +35,26 @@ def make_vdb_filter_3d(
     grid: DistanceGrid3,
     vdb_params: VdbLikelihoodFieldParams = VdbLikelihoodFieldParams(),
     motion_params: DifferentialDriveParams = DifferentialDriveParams(),
+    voxel_size_hint: float | None = None,
 ):
-    """Returns ``(models, ctx)`` for the SE3 VDB likelihood-field filter."""
+    """Returns ``(models, ctx)`` for the SE3 VDB likelihood-field filter.
+
+    On TPU the distance lookup uses the int8 codebook one-hot path
+    (maps/voxel.py make_distance_codes) when ``voxel_size_hint`` (the host
+    float used to build the grid) is given; otherwise the gather path.
+    """
+    codes_book = None
+    if voxel_size_hint is not None and jax.default_backend() == "tpu":
+        from beluga_tpu.maps.voxel import make_distance_codes
+
+        codes_book = make_distance_codes(
+            grid, voxel_size_hint, vdb_params.max_obstacle_distance
+        )
 
     def log_weight(ctx, states, points, point_mask):
         w = vdb_likelihood_weights(
-            vdb_params, ctx["vdb_grid"], states, points, point_mask
+            vdb_params, ctx["vdb_grid"], states, points, point_mask,
+            codes_book=ctx.get("vdb_codes"),
         )
         return jnp.log(w)
 
@@ -72,4 +86,7 @@ def make_vdb_filter_3d(
         estimate=estimate,
         motion_delta=se3_motion_delta,
     )
-    return models, {"vdb_grid": grid}
+    ctx = {"vdb_grid": grid}
+    if codes_book is not None:
+        ctx["vdb_codes"] = codes_book
+    return models, ctx

@@ -45,18 +45,35 @@ class DistanceGrid3:
     origin_xyz: Array
     background: Array
 
-    def distance_at(self, points_world: Array) -> Array:
+    def distance_at(self, points_world: Array, codes_book=None) -> Array:
         """Cell-centered lookup (worldToIndexCellCentered = round) of
-        distances for ``f32[..., 3]`` world points."""
+        distances for ``f32[..., 3]`` world points.
+
+        With ``codes_book`` (from :func:`make_distance_codes`) the lookup
+        runs as an int8 one-hot MXU pass over the volume flattened to
+        ``[H, D*W]`` — 3D random gathers serialize at ~5e7/s on v5e, the
+        one-hot path does ~1e8-5e8/s depending on volume size.
+        """
         idx = jnp.round((points_world - self.origin_xyz) / self.voxel_size).astype(
             jnp.int32
         )
         d, h, w = self.values.shape
         x, y, z = idx[..., 0], idx[..., 1], idx[..., 2]
         inside = (x >= 0) & (x < w) & (y >= 0) & (y < h) & (z >= 0) & (z < d)
-        vals = self.values[
-            jnp.clip(z, 0, d - 1), jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)
-        ]
+        if codes_book is not None:
+            from beluga_tpu.ops.pallas_lookup import pallas_codebook_lookup
+
+            codes2d, book = codes_book
+            yi = jnp.clip(y, 0, h - 1)
+            xi = jnp.clip(z, 0, d - 1) * w + jnp.clip(x, 0, w - 1)
+            vals = pallas_codebook_lookup(
+                codes2d, book, yi, xi,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            vals = self.values[
+                jnp.clip(z, 0, d - 1), jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)
+            ]
         return jnp.where(inside, vals, self.background)
 
 
@@ -127,3 +144,42 @@ def make_distance_grid_from_points(
     idx = np.round((pts - lo) / voxel_size).astype(int)
     mask[idx[:, 2], idx[:, 1], idx[:, 0]] = True
     return make_distance_grid(mask, voxel_size, origin_xyz=lo, max_distance=max_distance)
+
+
+def make_distance_codes(grid: DistanceGrid3, voxel_size: float,
+                        background: float, max_codes: int = 256):
+    """(codes i32[H, D*W], codebook f32[256]) for the one-hot 3D lookup.
+
+    ``voxel_size`` and ``background`` are passed as host floats (reading
+    them back off the grid pytree would flip remote sessions into
+    synchronous mode, NOTES.md).  Distance values are ``sqrt(k) *
+    voxel_size`` for integer k (exact 3D EDT) plus the background —
+    typically far fewer than 256 distinct values, so the device-unique
+    codebook is bit-exact; an analytic proposal (nearest-gap merged to
+    256) covers the rest.
+    """
+    from beluga_tpu.ops.gather2d import build_device_codebook, encode_table
+
+    d, h, w = grid.values.shape
+    table2d = jnp.transpose(grid.values, (1, 0, 2)).reshape(h, d * w)
+
+    voxel = float(voxel_size)
+    bg = float(np.float32(background))
+    kmax = int(min((bg / max(voxel, 1e-9)) ** 2, 4 * max_codes * max_codes)) + 1
+    vals = np.unique(
+        (np.sqrt(np.arange(kmax, dtype=np.float64)) * np.float32(voxel)).astype(
+            np.float32
+        )
+    )
+    vals = np.unique(np.concatenate([vals, [np.float32(bg)]]))
+    while vals.size > max_codes:
+        gaps = np.diff(vals)
+        k = int(np.argmin(gaps))
+        merged = np.float32(0.5 * (float(vals[k]) + float(vals[k + 1])))
+        vals = np.concatenate([vals[:k], [merged], vals[k + 2:]])
+    if vals.size < max_codes:
+        vals = np.concatenate(
+            [vals, np.full(max_codes - vals.size, vals[-1], np.float32)]
+        )
+    book = build_device_codebook(table2d, jnp.asarray(vals))
+    return encode_table(table2d, book), book

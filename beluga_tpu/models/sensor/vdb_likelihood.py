@@ -39,6 +39,7 @@ def vdb_likelihood_weights(
     states,
     points: Array,
     point_mask: Array,
+    codes_book=None,
 ) -> Array:
     """Per-particle weights ``1.0 + Σ_points (amp·exp(-d²/2σ²) + offset)``
     (vdb_likelihood_field_model.hpp:135-152); ``f32[N]``.
@@ -54,10 +55,12 @@ def vdb_likelihood_weights(
     rot = SO3(pose.rot.q[:, None, :])  # broadcast over the point axis
     pts_world = rot.act(points[None, :, :]) + pose.xyz[:, None, :]  # [N, P, 3]
 
-    dist = grid.distance_at(pts_world)  # [N, P]
+    dist = grid.distance_at(pts_world, codes_book=codes_book)  # [N, P]
     pz = amplitude * jnp.exp(-jnp.square(dist) / two_squared_sigma) + offset
     return 1.0 + jnp.sum(jnp.where(point_mask[None, :], pz, 0.0), axis=-1)
 
 
-def vdb_likelihood_log_weights(params, grid, states, points, point_mask) -> Array:
-    return jnp.log(vdb_likelihood_weights(params, grid, states, points, point_mask))
+def vdb_likelihood_log_weights(params, grid, states, points, point_mask,
+                               codes_book=None) -> Array:
+    return jnp.log(vdb_likelihood_weights(
+        params, grid, states, points, point_mask, codes_book=codes_book))

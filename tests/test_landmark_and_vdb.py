@@ -155,3 +155,18 @@ class TestVdbLikelihoodModel:
         w = vdb_likelihood_weights(params, grid, states, points, jnp.ones(1, bool))
         amp = 0.5 / (0.2 * np.sqrt(2 * np.pi))
         assert float(w[0]) == pytest.approx(1.0 + amp + 0.1, rel=1e-3)
+
+
+def test_vdb_codebook_lookup_matches_gather():
+    """The flattened-volume one-hot path reproduces the 3D gather."""
+    from beluga_tpu.maps.voxel import make_distance_codes, make_distance_grid
+
+    rng = np.random.default_rng(0)
+    occ = np.zeros((10, 40, 56), bool)
+    occ[rng.integers(0, 10, 30), rng.integers(0, 40, 30), rng.integers(0, 56, 30)] = True
+    grid = make_distance_grid(occ, 0.25, max_distance=3.0)
+    codes_book = make_distance_codes(grid, 0.25, 3.0)
+    pts = jnp.asarray(rng.uniform(-1.0, 14.5, (300, 3)), jnp.float32)
+    want = grid.distance_at(pts)
+    got = grid.distance_at(pts, codes_book=codes_book)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
