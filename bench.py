@@ -241,6 +241,38 @@ def phase_sync() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"beam secondary skipped: {type(e).__name__}: {e}")
 
+    # secondary (stderr only): the mega-particle configuration — one filter
+    # with 262144 particles, globally stratified systematic resampling
+    if remaining() > 120:
+        try:
+            import jax.numpy as jnp
+
+            from beluga_tpu.filters.amcl import AmclParams, update
+            from beluga_tpu.filters.builders import make_likelihood_field_filter
+
+            n_mega = 262144
+            _sm, ctx_m, st_m, od_m, pts_m, mk_m = build(1, n_mega, BEAMS)
+            models_m, ctx_m = make_likelihood_field_filter(ctx_m["grid"])
+            p_m = AmclParams(max_particles=n_mega, min_particles=n_mega // 4,
+                             resampling="systematic")
+            sm = jax.tree_util.tree_map(lambda l: l[0], st_m)
+            om = jax.tree_util.tree_map(lambda l: l[0], od_m[0])
+            mstep = jax.jit(lambda c, s, o, p, m: update(p_m, models_m, c, s, o, p, m))
+            for i in range(2):
+                sm = sm._replace(force_update=jnp.asarray(True))
+                sm, _ = mstep(ctx_m, sm, om, pts_m[0], mk_m[0])
+            jax.block_until_ready(sm)
+            t0 = time.perf_counter()
+            for _ in range(6):
+                sm = sm._replace(force_update=jnp.asarray(True))
+                sm, _ = mstep(ctx_m, sm, om, pts_m[0], mk_m[0])
+            jax.block_until_ready(sm)
+            d = max((time.perf_counter() - t0) / 6 - floor, 1e-9)
+            log(f"mega filter 1x{n_mega}: {d*1e3:.2f} ms/update "
+                f"({n_mega / d:.3e} particle-updates/s)")
+        except Exception as e:  # noqa: BLE001
+            log(f"mega secondary skipped: {type(e).__name__}: {e}")
+
 
 # ---------------------------------------------------------------------------
 # orchestrator
