@@ -9,15 +9,13 @@ return the ``AmclModels`` function table plus the ``ctx`` pytree consumed by
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from beluga_tpu.core.random import sample_uniform_free_cells
-from beluga_tpu.filters.amcl import AmclModels, AmclParams, default_estimate, default_hash_state
-from beluga_tpu.lie import SE2
+from beluga_tpu.filters.amcl import AmclModels, default_estimate, default_hash_state
 from beluga_tpu.maps.occupancy import OccupancyGrid
 from beluga_tpu.models.motion.differential_drive import (
     DifferentialDriveParams,
