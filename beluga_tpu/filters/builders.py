@@ -235,8 +235,12 @@ def make_beam_filter(
     n_bearings: int = 128,
     use_cluster_estimate: bool = False,
     use_sphere_trace: bool = False,
+    raycast_variant: str = "standard",
 ):
     """Assemble the beam-model AMCL configuration.
+
+    ``raycast_variant`` selects the exact-path Bresenham variant
+    (``"standard"`` or ``"supercover"``, bresenham.hpp:37-41).
 
     Fast paths (both opt-in; the exact path ray-marches with the lock-step
     Bresenham):
@@ -280,7 +284,7 @@ def make_beam_filter(
         def log_weight(ctx, states, points, beam_mask):
             return beam_log_weights(
                 beam_params, ctx["grid"], states, points, beam_mask,
-                resolution_hint=res_hint,
+                resolution_hint=res_hint, variant=raycast_variant,
             )
 
         ctx = {"grid": grid}

@@ -42,10 +42,13 @@ def beam_weights(
     points: Array,
     beam_mask: Array,
     resolution_hint: float | None = None,
+    variant: str = "standard",
 ) -> Array:
     """AMCL-parity weights ``Σ_beams pz³`` per particle, ``f32[N]``.
 
     ``points`` are 2D hits in the particle/base frame (``f32[B, 2]``).
+    ``variant`` selects the Bresenham variant for the ray march
+    (``"standard"`` or ``"supercover"``, bresenham.hpp:37-41).
     """
     # measured range and bearing per beam (beam_model.hpp:116-121)
     z = jnp.linalg.norm(points, axis=-1)  # [B]
@@ -63,7 +66,8 @@ def beam_weights(
     direction = jnp.stack([dx, dy], axis=-1)  # [N, B, 2]
 
     dist, hit = cast_rays(
-        grid, src, direction, params.beam_max_range, resolution_hint=resolution_hint
+        grid, src, direction, params.beam_max_range,
+        resolution_hint=resolution_hint, variant=variant,
     )
     z_mean = jnp.where(hit, dist, params.beam_max_range)  # [N, B]
 
@@ -96,11 +100,12 @@ def beam_weights(
 
 
 def beam_log_weights(params, grid, states, points, beam_mask,
-                     resolution_hint=None) -> Array:
+                     resolution_hint=None, variant="standard") -> Array:
     """Log of :func:`beam_weights` (clamped away from zero)."""
     return jnp.log(
         jnp.maximum(
-            beam_weights(params, grid, states, points, beam_mask, resolution_hint),
+            beam_weights(params, grid, states, points, beam_mask,
+                         resolution_hint, variant=variant),
             1e-30,
         )
     )

@@ -36,6 +36,7 @@ def cast_rays(
     dir_xy_local: Array,
     max_range: float,
     resolution_hint: float | None = None,
+    variant: str = "standard",
 ):
     """Bresenham-march rays through the grid.
 
@@ -46,10 +47,19 @@ def cast_rays(
       max_range: maximum ray length in meters (static).
       resolution_hint: static meters-per-cell used to bound the iteration
         count; defaults to the grid's (concrete) resolution.
+      variant: ``"standard"`` or ``"supercover"`` (the reference's
+        ``kModified`` variant, bresenham.hpp:39-41 — visits every cell the
+        continuous line touches, so thin diagonal walls cannot be skipped).
 
     Returns:
       (distance ``f32[...]``, hit ``bool[...]``).
     """
+    if variant == "supercover":
+        return _cast_rays_supercover(
+            grid, source_xy_local, dir_xy_local, max_range, resolution_hint
+        )
+    if variant != "standard":
+        raise ValueError(f"unknown Bresenham variant: {variant!r}")
     res = grid.resolution
     if resolution_hint is None:
         resolution_hint = grid.resolution_hint  # host metadata; no readback
@@ -104,6 +114,106 @@ def cast_rays(
         x = x + jnp.where(step_x & ~done, sx, 0)
         y = y + jnp.where(step_y & ~done, sy, 0)
         return x, y, err, dist, hit, done
+
+    _, _, _, dist, hit, _ = jax.lax.fori_loop(0, num_steps, body, init)
+    return dist, hit
+
+
+def _cast_rays_supercover(
+    grid: OccupancyGrid,
+    source_xy_local: Array,
+    dir_xy_local: Array,
+    max_range: float,
+    resolution_hint: float | None = None,
+):
+    """Supercover (``kModified``) lock-step march (bresenham.hpp:113-161).
+
+    The reference's iterator advances the driving axis once per primary
+    step; when the minor axis also steps, it first emits one (or, on an
+    exact corner crossing, both) of the two axis-adjacent intermediate
+    cells before the diagonal cell, gated on ``error + prev_error``
+    against ``2·span``.  Here every ray carries driving-axis state
+    ``(a, b, error)`` with a per-ray axis-swap mask, and each lock-step
+    iteration probes the up-to-three candidate cells of one primary step
+    in the reference's emission order, so hit cells and centroid distances
+    are bit-exact with the C++ iterator.
+    """
+    res = grid.resolution
+    if resolution_hint is None:
+        resolution_hint = grid.resolution_hint
+    # the driving axis advances max(|dx|, |dy|) times; +2 for the endpoints
+    num_steps = int(-(-max_range // resolution_hint)) + 2
+
+    free_grid = grid.free_mask
+    h, w = free_grid.shape
+
+    src_cell = grid.cell_near(source_xy_local)
+    far = source_xy_local + max_range * dir_xy_local
+    far_cell = jnp.floor(far / res).astype(jnp.int32)
+
+    x0, y0 = src_cell[..., 0], src_cell[..., 1]
+    x1, y1 = far_cell[..., 0], far_cell[..., 1]
+    xspan = jnp.abs(x1 - x0)
+    yspan = jnp.abs(y1 - y0)
+    xstep = jnp.where(x1 >= x0, 1, -1).astype(jnp.int32)
+    ystep = jnp.where(y1 >= y0, 1, -1).astype(jnp.int32)
+
+    # per-ray axis swap so the driving axis `a` always has the larger span
+    # (bresenham.hpp:101-107)
+    rev = xspan < yspan
+    a0 = jnp.where(rev, y0, x0)
+    b0 = jnp.where(rev, x0, y0)
+    aspan = jnp.maximum(xspan, yspan)
+    astep = jnp.where(rev, ystep, xstep)
+    bstep = jnp.where(rev, xstep, ystep)
+    daspan = 2 * aspan
+    dbspan = 2 * jnp.minimum(xspan, yspan)
+
+    shape = x0.shape
+    max_range_f = jnp.float32(max_range)
+
+    def probe(ca, cb, cond, dist, hit, done):
+        """Check one candidate cell in emission order; latch hit/done."""
+        x = jnp.where(rev, cb, ca)
+        y = jnp.where(rev, ca, cb)
+        inside = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        free = free_grid[jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)]
+        active = cond & ~done
+        blocked = active & inside & ~free
+        d = res * jnp.hypot(
+            (ca - a0).astype(jnp.float32), (cb - b0).astype(jnp.float32)
+        )
+        dist = jnp.where(blocked, jnp.minimum(d, max_range_f), dist)
+        hit = hit | blocked
+        done = done | blocked | (active & ~inside)
+        return dist, hit, done
+
+    # source cell (the line's first element, bresenham.hpp:86)
+    dist = jnp.full(shape, max_range_f)
+    hit = jnp.zeros(shape, bool)
+    done = jnp.zeros(shape, bool)
+    true_mask = jnp.ones(shape, bool)
+    dist, hit, done = probe(a0, b0, true_mask, dist, hit, done)
+    done = done | (aspan == 0)  # sentinel: step_ > xspan_ at the first ++
+
+    # error_ = prev_error_ = xspan_ at init, and prev_error_ is re-synced to
+    # error_ after every primary emission — one carried value suffices.
+    init = (a0, b0, aspan, dist, hit, done)
+
+    def body(i, carry):
+        a, b, error, dist, hit, done = carry
+        done = done | ((i + 1) > aspan)
+        a_new = a + astep
+        e1 = error + dbspan
+        diag = e1 > daspan
+        b_new = jnp.where(diag, b + bstep, b)
+        e2 = jnp.where(diag, e1 - daspan, e1)
+        # intermediate cells (bresenham.hpp:141-156); on e2+prev == daspan
+        # both are emitted (exact corner crossing)
+        dist, hit, done = probe(a_new, b, diag & (e2 + error <= daspan), dist, hit, done)
+        dist, hit, done = probe(a, b_new, diag & (e2 + error >= daspan), dist, hit, done)
+        dist, hit, done = probe(a_new, b_new, true_mask, dist, hit, done)
+        return a_new, b_new, e2, dist, hit, done
 
     _, _, _, dist, hit, _ = jax.lax.fori_loop(0, num_steps, body, init)
     return dist, hit

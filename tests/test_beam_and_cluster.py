@@ -53,6 +53,133 @@ def bresenham_cast(grid_np, resolution, src_xy, bearing, max_range):
             y += sy
 
 
+def supercover_line(p0, p1):
+    """Host-side oracle replicating the kModified iterator
+    (bresenham.hpp:86-161): emission-ordered cell list."""
+    x0, y0 = p0
+    x1, y1 = p1
+    x, y = x0, y0
+    xspan, xstep = x1 - x0, 1
+    if xspan < 0:
+        xspan, xstep = -xspan, -1
+    yspan, ystep = y1 - y0, 1
+    if yspan < 0:
+        yspan, ystep = -yspan, -1
+    reversed_ = xspan < yspan
+    if reversed_:
+        x, y = y, x
+        xspan, yspan = yspan, xspan
+        xstep, ystep = ystep, xstep
+    emit = (lambda a, b: (b, a)) if reversed_ else (lambda a, b: (a, b))
+    dx2, dy2 = 2 * xspan, 2 * yspan
+    error = prev = xspan
+    cells = [emit(x, y)]
+    for _ in range(xspan):
+        x += xstep
+        error += dy2
+        if error > dx2:
+            y += ystep
+            error -= dx2
+            if error + prev <= dx2:
+                cells.append(emit(x, y - ystep))
+            if error + prev >= dx2:
+                cells.append(emit(x - xstep, y))
+        cells.append(emit(x, y))
+        prev = error
+    return cells
+
+
+def supercover_cast(grid_np, resolution, src_xy, bearing, max_range):
+    """Ray2d::cast over the supercover line (raycasting.hpp:97-107)."""
+    h, w = grid_np.shape
+    src_cell = np.floor(np.asarray(src_xy) / resolution).astype(int)
+    far = np.asarray(src_xy) + max_range * np.asarray(
+        [np.cos(bearing), np.sin(bearing)]
+    )
+    far_cell = np.floor(far / resolution).astype(int)
+    for x, y in supercover_line(tuple(src_cell), tuple(far_cell)):
+        if not (0 <= x < w and 0 <= y < h):
+            return None
+        if grid_np[y, x] == OCCUPIED_VALUE:
+            d = resolution * np.hypot(x - src_cell[0], y - src_cell[1])
+            return min(d, max_range)
+    return None
+
+
+class TestSupercoverRaycast:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_supercover_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        data = np.zeros((40, 40), np.int8)
+        data[rng.random((40, 40)) < 0.08] = OCCUPIED_VALUE
+        g = make_grid(data, 0.25)
+        grid_np = np.asarray(g.data)
+
+        srcs, dirs, oracle = [], [], []
+        for _ in range(80):
+            sx, sy = rng.uniform(1.0, 9.0, 2)
+            if grid_np[int(sy / 0.25), int(sx / 0.25)] == OCCUPIED_VALUE:
+                continue
+            bearing = rng.uniform(-np.pi, np.pi)
+            srcs.append([sx, sy])
+            dirs.append([np.cos(bearing), np.sin(bearing)])
+            oracle.append(supercover_cast(grid_np, 0.25, [sx, sy], bearing, 8.0))
+
+        dist, hit = cast_rays(
+            g, jnp.asarray(srcs, jnp.float32), jnp.asarray(dirs, jnp.float32),
+            8.0, variant="supercover",
+        )
+        for i, o in enumerate(oracle):
+            if o is None:
+                assert not bool(hit[i]), f"ray {i}: unexpected hit {float(dist[i])}"
+            else:
+                assert bool(hit[i]), f"ray {i}: missed expected hit at {o}"
+                assert float(dist[i]) == pytest.approx(o, abs=1e-4), f"ray {i}"
+
+    def test_corner_crossing_cannot_tunnel(self):
+        # a 45° ray through the exact corner between two diagonal obstacle
+        # cells: standard Bresenham steps through the gap, supercover emits
+        # both axis-adjacent cells and must hit.
+        data = np.zeros((6, 6), np.int8)
+        data[2, 3] = OCCUPIED_VALUE  # (x=3, y=2)
+        data[3, 2] = OCCUPIED_VALUE  # (x=2, y=3)
+        g = make_grid(data, 1.0)
+        src = jnp.asarray([[0.5, 0.5]])  # cell (0, 0)
+        d = jnp.asarray([[np.cos(np.pi / 4), np.sin(np.pi / 4)]], jnp.float32)
+
+        dist_std, hit_std = cast_rays(g, src, d, 10.0, variant="standard")
+        dist_sc, hit_sc = cast_rays(g, src, d, 10.0, variant="supercover")
+        assert not bool(hit_std[0])  # tunnels through the diagonal gap
+        assert bool(hit_sc[0])
+        # first emitted intermediate cell is (a_new, b) = (x=3, y=2):
+        # distance = hypot(3, 2)
+        assert float(dist_sc[0]) == pytest.approx(np.hypot(3, 2), abs=1e-5)
+
+    def test_supercover_emits_line_touched_cells(self):
+        # oracle self-check on the documented 45° behavior: every primary
+        # step emits both intermediate cells plus the diagonal cell
+        cells = supercover_line((0, 0), (3, 3))
+        assert cells == [
+            (0, 0),
+            (1, 0), (0, 1), (1, 1),
+            (2, 1), (1, 2), (2, 2),
+            (3, 2), (2, 3), (3, 3),
+        ]
+
+    def test_beam_weights_supercover_variant(self):
+        g = grid_5x5()
+        states = SE2.from_xytheta(
+            jnp.asarray([1.25]), jnp.asarray([1.25]), jnp.asarray([0.0])
+        )
+        points = jnp.asarray([[1.0, 1.0], [0.5, 0.0]], jnp.float32)
+        mask = jnp.ones(2, bool)
+        w = beam_weights(
+            BeamModelParams(beam_max_range=10.0), g, states, points, mask,
+            variant="supercover",
+        )
+        assert np.isfinite(float(w[0])) and float(w[0]) > 0.0
+
+
 class TestRaycast:
     def test_cardinal_hit(self):
         g = grid_5x5()
