@@ -185,6 +185,8 @@ def make_shared_scan_filter(
     motion_params: Any = DifferentialDriveParams(),
     n_theta: int = 128,
     max_point_radius: float = 4.0,
+    lut_build: str = "pallas",
+    lut_build_kwargs: dict | None = None,
 ):
     """Likelihood-field AMCL for fleets that score the *same* scan.
 
@@ -193,14 +195,32 @@ def make_shared_scan_filter(
     every filter/particle through the ctx; the reweight then costs two
     θ-interpolated lookups per particle instead of B beam lookups.
 
+    ``lut_build`` selects the per-scan build backend: ``"pallas"`` (VMEM
+    kernel, the TPU default), ``"roll"`` (XLA shifted accumulations — same
+    numbers, portable), or ``"fft"`` (spectral, cheap at large K but
+    periodic-sinc sampled).  ``lut_build_kwargs`` are forwarded to the
+    build function (e.g. ``sampling="nearest"``, ``downsample=2`` for the
+    Pallas backend's speed/accuracy knobs).
+
     Returns ``(models, ctx, prepare)`` where
     ``prepare(ctx, points, beam_mask) -> ctx`` refreshes the LUT (jit it
     with the fleet step or call it per scan).
     """
     from beluga_tpu.models.sensor.likelihood_field_lut import (
         build_scan_lut,
+        build_scan_lut_fft,
+        build_scan_lut_pallas,
         scan_lut_weights,
     )
+
+    builders = {
+        "roll": build_scan_lut,
+        "pallas": build_scan_lut_pallas,
+        "fft": build_scan_lut_fft,
+    }
+    if lut_build not in builders:
+        raise ValueError(f"unknown lut_build: {lut_build!r}")
+    build_fn = builders[lut_build]
 
     def log_weight(ctx, states, points, beam_mask):
         del points, beam_mask  # folded into the shared LUT
@@ -216,10 +236,13 @@ def make_shared_scan_filter(
     field = make_likelihood_field(lf_params, grid)
     res_hint = grid.resolution_hint
 
+    extra = dict(lut_build_kwargs or {})
+
     def prepare(ctx, points, beam_mask):
-        lut = build_scan_lut(
+        lut = build_fn(
             ctx["field"], points, beam_mask, n_theta=n_theta,
             max_point_radius=max_point_radius, resolution_hint=res_hint,
+            **extra,
         )
         return {**ctx, "scan_lut": lut}
 

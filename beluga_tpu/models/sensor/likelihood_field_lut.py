@@ -57,6 +57,39 @@ class ScanLut:
     n_theta: int
 
 
+def _pad_field_cubed(
+    field: LikelihoodField,
+    max_point_radius: float,
+    resolution_hint: float,
+    align: tuple[int, int] = (1, 1),
+):
+    """(padded pz³ image, pad_cells): core field surrounded by an
+    unknown³ band at least the scan radius wide; dims rounded up to
+    ``align`` multiples (the extra fill extends the band on the high side).
+    """
+    lf3 = field.values**3
+    unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
+    pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
+    h, w = lf3.shape
+    ha, wa = align
+    hp = -(-(h + 2 * pad) // ha) * ha
+    wp = -(-(w + 2 * pad) // wa) * wa
+    padded = jnp.pad(lf3, ((pad, hp - h - pad), (pad, wp - w - pad)))
+    # fill the pad band with unknown^3 (pad constant_values can't be traced)
+    yy = jnp.arange(hp)[:, None]
+    xx = jnp.arange(wp)[None, :]
+    in_core = (yy >= pad) & (yy < pad + h) & (xx >= pad) & (xx < pad + w)
+    return jnp.where(in_core, padded, unknown3), pad
+
+
+def _radius_or_default(points: Array, max_point_radius: float | None) -> float:
+    if max_point_radius is None:
+        return float(
+            np.ceil(np.linalg.norm(np.asarray(points), axis=-1).max() + 0.5)
+        )
+    return max_point_radius
+
+
 def build_scan_lut(
     field: LikelihoodField,
     points: Array,
@@ -73,22 +106,12 @@ def build_scan_lut(
     the uniform unknown-padding so `jnp.roll` is safe.  ``resolution_hint``
     must be given under jit (the pad width is static).
     """
-    if max_point_radius is None:
-        max_point_radius = float(np.ceil(np.linalg.norm(np.asarray(points), axis=-1).max() + 0.5))
+    max_point_radius = _radius_or_default(points, max_point_radius)
     if resolution_hint is None:
         resolution_hint = float(jax.device_get(field.resolution))
 
-    lf3 = field.values**3
-    unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
     res = field.resolution
-    pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
-    padded = jnp.pad(lf3, pad)
-    # fill the pad band with unknown^3 (pad constant_values can't be traced)
-    h, w = lf3.shape
-    yy = jnp.arange(h + 2 * pad)[:, None]
-    xx = jnp.arange(w + 2 * pad)[None, :]
-    in_core = (yy >= pad) & (yy < pad + h) & (xx >= pad) & (xx < pad + w)
-    padded = jnp.where(in_core, padded, unknown3)
+    padded, pad = _pad_field_cubed(field, max_point_radius, resolution_hint)
 
     thetas = jnp.arange(n_theta, dtype=jnp.float32) * (2.0 * jnp.pi / n_theta)
 
@@ -130,6 +153,66 @@ def build_scan_lut(
     )
 
 
+def build_scan_lut_pallas(
+    field: LikelihoodField,
+    points: Array,
+    beam_mask: Array,
+    n_theta: int = 128,
+    max_point_radius: float | None = None,
+    resolution_hint: float | None = None,
+    sampling: str = "bilinear",
+    downsample: int = 1,
+    interpret: bool | None = None,
+) -> ScanLut:
+    """`build_scan_lut` computed by the VMEM-resident Pallas kernel
+    (ops/pallas_scan_lut.py): identical bilinear samples (beam sum
+    reassociated), ~30× less HBM traffic than the XLA roll build.
+
+    The kernel is VPU-shuffle-bound, so two speed/accuracy knobs trade
+    sampling fidelity (both stay below or near the LUT's inherent
+    heading-quantization error for typical ``n_theta``):
+      * ``sampling="nearest"`` — ≤ half-cell sampling error, ~1.5× faster;
+      * ``downsample=d`` — build the LUT on a d-strided field (cell size
+        d·res, build cost 1/d²).
+
+    Padded dims are rounded up to (8, 128) multiples; the extra fill
+    extends the unknown band (pad_cells is unchanged, lookups clip the
+    same way).
+    """
+    from beluga_tpu.ops.pallas_scan_lut import scan_lut_correlate
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    max_point_radius = _radius_or_default(points, max_point_radius)
+    if resolution_hint is None:
+        resolution_hint = float(jax.device_get(field.resolution))
+
+    if downsample > 1:
+        # decimated field view: cell (i, j) keeps its world position, so
+        # world_to_field and the cell-corner convention are unchanged
+        field = dataclasses.replace(
+            field,
+            values=field.values[::downsample, ::downsample],
+            resolution=field.resolution * downsample,
+        )
+        resolution_hint = resolution_hint * downsample
+
+    padded, pad = _pad_field_cubed(
+        field, max_point_radius, resolution_hint, align=(8, 128)
+    )
+    values = scan_lut_correlate(
+        padded, points, beam_mask, field.resolution, n_theta,
+        sampling=sampling, interpret=interpret,
+    )
+    return ScanLut(
+        values=values,
+        resolution=field.resolution,
+        world_to_field=field.world_to_field,
+        pad_cells=pad,
+        n_theta=n_theta,
+    )
+
+
 def build_scan_lut_fft(
     field: LikelihoodField,
     points: Array,
@@ -150,18 +233,9 @@ def build_scan_lut_fft(
     if resolution_hint is None:
         resolution_hint = float(jax.device_get(field.resolution))
 
-    lf3 = field.values**3
-    unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
     res = field.resolution
-    pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
-
-    h, w = lf3.shape
-    hp, wp = h + 2 * pad, w + 2 * pad
-    padded = jnp.pad(lf3, pad)
-    yy = jnp.arange(hp)[:, None]
-    xx = jnp.arange(wp)[None, :]
-    in_core = (yy >= pad) & (yy < pad + h) & (xx >= pad) & (xx < pad + w)
-    padded = jnp.where(in_core, padded, unknown3)
+    padded, pad = _pad_field_cubed(field, max_point_radius, resolution_hint)
+    hp, wp = padded.shape
 
     spectrum = jnp.fft.rfft2(padded)  # [hp, wp//2+1]
 

@@ -141,6 +141,119 @@ def test_shared_scan_fleet_filter():
     assert xs.std() < 0.5
 
 
+def test_pallas_build_matches_roll_build(setup):
+    """The VMEM kernel reproduces the XLA roll build on the core region
+    (outside the core, wraps traverse differently-sized unknown bands)."""
+    from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_pallas
+
+    field, points, mask = setup
+    a = build_scan_lut(field, points, mask, n_theta=16, max_point_radius=2.5)
+    b = build_scan_lut_pallas(
+        field, points, mask, n_theta=16, max_point_radius=2.5, interpret=True
+    )
+    assert a.pad_cells == b.pad_cells
+    assert b.values.shape[1] % 8 == 0 and b.values.shape[2] % 128 == 0
+    pad = a.pad_cells
+    h, w = field.values.shape
+    core_a = np.asarray(a.values[:, pad : pad + h, pad : pad + w])
+    core_b = np.asarray(b.values[:, pad : pad + h, pad : pad + w])
+    np.testing.assert_allclose(core_b, core_a, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_build_nearest_sampling(setup):
+    """Nearest sampling keeps the LUT usable against the exact model:
+    same accuracy gates as the bilinear LUT (the ≤ half-cell sampling
+    error is below the heading-quantization error at realistic K)."""
+    from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_pallas
+
+    field, points, mask = setup
+    lut = build_scan_lut_pallas(
+        field, points, mask, n_theta=256, max_point_radius=2.5,
+        resolution_hint=0.1, sampling="nearest", interpret=True,
+    )
+    rng = np.random.default_rng(7)
+    n = 400
+    states = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32),
+    )
+    exact = np.asarray(likelihood_field_weights(field, states, points, mask))
+    approx = np.asarray(scan_lut_weights(lut, states))
+    assert np.isfinite(approx).all()
+    rel = np.abs(approx - exact) / np.abs(exact)
+    assert np.median(rel) < 0.1, f"median rel err {np.median(rel):.3f}"
+    k = n // 10
+    overlap = len(set(np.argsort(exact)[-k:]) & set(np.argsort(approx)[-k:])) / k
+    assert overlap > 0.6, f"top-decile overlap {overlap:.2f}"
+
+
+def test_pallas_build_downsampled(setup):
+    """downsample=2 builds a coarser LUT that still tracks the exact model."""
+    from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_pallas
+
+    field, points, mask = setup
+    lut = build_scan_lut_pallas(
+        field, points, mask, n_theta=256, max_point_radius=2.5,
+        resolution_hint=0.1, downsample=2, interpret=True,
+    )
+    rng = np.random.default_rng(9)
+    n = 400
+    states = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(1.0, 5.4, n), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32),
+    )
+    exact = np.asarray(likelihood_field_weights(field, states, points, mask))
+    approx = np.asarray(scan_lut_weights(lut, states))
+    assert np.isfinite(approx).all()
+    rel = np.abs(approx - exact) / np.abs(exact)
+    assert np.median(rel) < 0.15, f"median rel err {np.median(rel):.3f}"
+    k = n // 10
+    overlap = len(set(np.argsort(exact)[-k:]) & set(np.argsort(approx)[-k:])) / k
+    assert overlap > 0.5, f"top-decile overlap {overlap:.2f}"
+
+
+def test_pallas_build_masked_beams(setup):
+    from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_pallas
+
+    field, points, mask = setup
+    half = jnp.asarray(np.arange(points.shape[0]) % 2 == 0)
+    a = build_scan_lut(field, points, half, n_theta=8, max_point_radius=2.5)
+    b = build_scan_lut_pallas(
+        field, points, half, n_theta=8, max_point_radius=2.5, interpret=True
+    )
+    pad = a.pad_cells
+    h, w = field.values.shape
+    np.testing.assert_allclose(
+        np.asarray(b.values[:, pad : pad + h, pad : pad + w]),
+        np.asarray(a.values[:, pad : pad + h, pad : pad + w]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_shared_scan_filter_pallas_build():
+    """lut_build="pallas" is a drop-in for the shared-scan builder."""
+    from beluga_tpu.filters.builders import make_shared_scan_filter
+
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+    models, ctx, prepare = make_shared_scan_filter(
+        grid, LikelihoodFieldParams(max_laser_distance=5.0),
+        n_theta=16, max_point_radius=2.5, lut_build="pallas",
+    )
+    angles = np.linspace(-np.pi, np.pi, 12, endpoint=False)
+    points = jnp.asarray(
+        np.stack([np.cos(angles), np.sin(angles)], -1), jnp.float32
+    )
+    mask = jnp.ones(12, bool)
+    sctx = prepare(ctx, points, mask)
+    states = SE2.from_xytheta(jnp.asarray([3.0]), jnp.asarray([3.0]), jnp.asarray([0.0]))
+    w = np.asarray(jnp.exp(models.log_weight(sctx, states, points, mask)))
+    assert np.isfinite(w).all() and (w >= 1.0).all()
+
+
 def test_fft_build_matches_shift_build(setup):
     from beluga_tpu.models.sensor.likelihood_field_lut import build_scan_lut_fft
 
