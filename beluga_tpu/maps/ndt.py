@@ -111,13 +111,18 @@ class NdtMap:
         m = self.keys.shape[0]
         live = jnp.arange(m) < self.num_cells
         keys = jnp.where(live, self.keys, jnp.uint32(0xFFFFFFFF))
-        # hi/lo bf16 planes reconstruct f32 values to ~2^-16 relative;
+        # hi/lo bf16-grid planes reconstruct f32 values to ~2^-16 relative;
         # exactness to the gather path is asserted at 1e-4 by tests (the
-        # NDT likelihood tolerances are far looser than that)
+        # NDT likelihood tolerances are far looser than that).  The hi
+        # plane is a bit-pattern truncation: a bf16 round-trip residual is
+        # elided to zero under --xla_allow_excess_precision (see
+        # ops/pallas_resample.py:trunc_bf16).
+        from beluga_tpu.ops.pallas_resample import trunc_bf16
+
         packed = jnp.concatenate(
             [self.means, self.covs.reshape(m, d * d)], axis=-1
         ).T  # [D + D*D, M]
-        hi = packed.astype(jnp.bfloat16).astype(jnp.float32)
+        hi = trunc_bf16(packed)
         lo = packed - hi
         planes = jnp.concatenate([hi, lo], axis=0)  # [2*(D+D*D), M]
 

@@ -41,13 +41,30 @@ _MBLK = 8192  # positions per pallas program (the grid axis)
 _NBLK = 2048  # particle-axis block (bounds the [NBLK, C] interval mask)
 
 
+def trunc_bf16(x: Array) -> Array:
+    """x with its f32 mantissa truncated to the bf16 grid, computed on the
+    bit pattern.  The naive ``x - x.astype(bf16).astype(f32)`` residual is
+    UNSAFE: under ``--xla_allow_excess_precision`` (set on some TPU
+    runtimes) XLA elides the f32→bf16→f32 round-trip and the residual
+    folds to zero — donor states silently quantize to bf16.  Bit masking
+    cannot be elided."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+
+
 def _split3(x: Array) -> Array:
-    """f32[D, N] -> bf16[3D, N] hi/mid/lo planes (their sum is exact)."""
-    hi = x.astype(jnp.bfloat16)
-    r = x - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=-2)
+    """f32[D, N] -> bf16[3D, N] hi/mid/lo planes (their sum is exact).
+
+    Truncation (Dekker-style) split: each plane carries 8 consecutive
+    significand bits, every plane is exactly bf16-representable, and each
+    subtraction is exact, so hi + mid + lo == x bit-for-bit in f32."""
+    hi = trunc_bf16(x)
+    r = x - hi
+    mid = trunc_bf16(r)
+    lo = r - mid
+    return jnp.concatenate([hi, mid, lo], axis=-2).astype(jnp.bfloat16)
 
 
 def _make_kernel_small(n_real: int):
@@ -164,6 +181,12 @@ def resample_take(
 
     c = jnp.cumsum(weights.astype(jnp.float32))
     cdf = c / jnp.maximum(c[-1], 1e-38)
+    # XLA's parallel prefix sum reassociates, so the f32 CDF can dip by
+    # ~1 ulp at scan-block boundaries.  The interval mask needs a monotone
+    # CDF or a position in a dip matches two intervals (the donor SUM is
+    # garbage) or none (donor 0); cummax flattens dips into zero-width
+    # intervals, guaranteeing exactly one match.
+    cdf = jax.lax.cummax(cdf)
     cdf_prev = jnp.pad(cdf[:-1], (1, 0))
 
     # pad the particle axis to the kernel's block size; padded CDF entries
@@ -239,3 +262,23 @@ def resample_take_tree(
     packed, treedef, shapes = pack_state(states)
     out = resample_take(weights, positions, packed, interpret=interpret)
     return unpack_state(out, treedef, shapes)
+
+
+def resample_take_tree_multinomial(
+    key: Array, weights: Array, states: Any, num: int, interpret: bool = False
+) -> Any:
+    """Exact-multiset multinomial resample for large filters.
+
+    Draws sorted uniform order statistics (exponential spacings — the
+    donor interval counts are exactly multinomial), runs the block-local
+    fused kernel, and interleaves the slot order with a transpose so slot
+    prefixes cover the CDF uniformly.  ~25x the iid-position kernel at
+    262k particles; the only deviation from iid draw order is the
+    deterministic interleave (documented in NOTES.md).
+    """
+    from beluga_tpu.ops.resample import interleave_slots, sorted_multinomial_positions
+
+    u = sorted_multinomial_positions(key, num)
+    packed, treedef, shapes = pack_state(states)
+    out = resample_take(weights, u, packed, interpret=interpret)
+    return unpack_state(interleave_slots(out), treedef, shapes)

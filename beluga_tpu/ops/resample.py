@@ -75,6 +75,42 @@ def stratified_positions(key: Array, num: int) -> Array:
     ) / num
 
 
+def sorted_multinomial_positions(key: Array, num: int) -> Array:
+    """Uniform order statistics U_(1) < ... < U_(num), O(num), no sort.
+
+    Via the uniform-spacings construction: iid exponentials E_1..E_{n+1},
+    U_(i) = (E_1 + ... + E_i) / (E_1 + ... + E_{n+1}).  The resulting donor
+    interval counts are *exactly* multinomial; only the draw order is
+    sorted.  Sorted positions make the CDF search block-local, which is
+    what the fused Pallas resample kernel needs (unsorted iid positions
+    sweep every particle block: 220 ms vs 4.9 ms at 262k particles).
+    """
+    e = -jnp.log1p(-jax.random.uniform(key, (num + 1,), jnp.float32))
+    # cummax: XLA's parallel cumsum can dip ~1 ulp at scan-block
+    # boundaries; downstream kernels rely on sortedness
+    s = jax.lax.cummax(jnp.cumsum(e))
+    return s[:-1] / jnp.maximum(s[-1], 1e-38)
+
+
+def interleave_slots(x: Array, rows: int = 512) -> Array:
+    """Reorder the leading axis by a [rows, cols] transpose.
+
+    Applied to donors produced from sorted positions it spreads consecutive
+    CDF regions across the slot axis, so any slot prefix (the KLD active
+    prefix) covers the whole CDF near-uniformly — the same order character
+    as systematic resampling.  A transpose, not a gather: costs ~1 ms where
+    an unsort permutation gather costs ~40 ms at 262k rows.
+    """
+    m = x.shape[0]
+    r = min(rows, m)
+    while m % r:  # static: m and rows are trace-time constants
+        r -= 1
+    # out[j] = in[(j % groups) * r + j // groups]: consecutive slots read
+    # rank-stride r, so any prefix spans the whole sorted range
+    lead = (m // r, r)
+    return x.reshape(lead + x.shape[1:]).swapaxes(0, 1).reshape(x.shape)
+
+
 def multinomial_indices(key: Array, weights: Array, num: int) -> Array:
     return _select(_cdf(weights), multinomial_positions(key, num))
 

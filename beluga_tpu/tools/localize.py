@@ -89,7 +89,16 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="trajectory output .npz")
     p.add_argument("--initial-pose", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "YAW"))
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force the JAX backend (some environments "
+                        "pre-register a TPU plugin that wins over the "
+                        "JAX_PLATFORMS env var; this applies the config "
+                        "override after import, which is authoritative)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     summary = run(args.map, args.input, args.output, args.params, args.initial_pose)
     print(json.dumps(summary, indent=2))
 

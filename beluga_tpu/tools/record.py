@@ -59,7 +59,13 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--start", type=float, nargs=2, default=(-1.7, 0.5))
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force the JAX backend (see localize.py)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     traj, scans = record(args.map, args.output, args.steps, args.start, args.seed)
     print(f"recorded {len(traj)} scans to {args.output}")
 

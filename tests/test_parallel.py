@@ -186,6 +186,74 @@ class TestPallasResample:
         idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
         np.testing.assert_array_equal(np.asarray(got), vals[:, idx].T)
 
+    def test_split3_reconstruction_exact(self):
+        """Truncation split: hi + mid + lo == x bit-for-bit (the round-trip
+        residual form is elided to zero under --xla_allow_excess_precision)."""
+        from beluga_tpu.ops.pallas_resample import _split3
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(
+            np.concatenate([
+                rng.standard_normal(500) * 1e4,
+                rng.standard_normal(500) * 1e-4,
+                np.arange(261630, 262144, dtype=np.float64),
+                [0.0, -0.0, 1.0, -262143.0],
+            ]).astype(np.float32)
+        )[None, :]
+        planes = np.asarray(_split3(x), np.float32)
+        d = x.shape[0]
+        recon = planes[:d] + planes[d : 2 * d] + planes[2 * d :]
+        np.testing.assert_array_equal(recon, np.asarray(x))
+
+    def test_sorted_multinomial_positions_distribution(self):
+        """Exponential-spacings order statistics: sorted, in (0,1), and the
+        empirical CDF matches U(0,1) (KS distance ~ 1/sqrt(n))."""
+        from beluga_tpu.ops.resample import sorted_multinomial_positions
+
+        n = 20000
+        u = np.asarray(sorted_multinomial_positions(jax.random.PRNGKey(0), n))
+        assert u.shape == (n,)
+        assert (np.diff(u) >= 0).all()
+        assert u[0] >= 0.0 and u[-1] < 1.0
+        ks = np.max(np.abs(u - (np.arange(1, n + 1) - 0.5) / n))
+        assert ks < 3.0 / np.sqrt(n), f"KS distance {ks:.4f}"
+
+    def test_interleave_slots_is_permutation(self):
+        from beluga_tpu.ops.resample import interleave_slots
+
+        x = jnp.arange(1000, dtype=jnp.int32)
+        y = np.asarray(interleave_slots(x))
+        assert sorted(y.tolist()) == list(range(1000))
+        # consecutive output slots come from distant input ranks
+        assert np.median(np.abs(np.diff(y))) > 1
+
+    def test_multinomial_tree_counts_match_weights(self):
+        """The fast multinomial path produces donor counts ~ Multinomial(M, w)
+        and a slot order whose prefix spans the CDF."""
+        from beluga_tpu.ops.pallas_resample import resample_take_tree_multinomial
+
+        rng = np.random.default_rng(5)
+        n = 4096
+        w = rng.random(n).astype(np.float32)
+        w[n // 2 :] = 0.0  # dead tail never selected
+        # state plane = the particle index so donors are identifiable
+        states = {"idx": jnp.arange(n, dtype=jnp.float32)}
+        out = resample_take_tree_multinomial(
+            jax.random.PRNGKey(3), jnp.asarray(w), states, n, interpret=True
+        )
+        donor = np.asarray(out["idx"]).astype(int)
+        assert (donor < n // 2).all()
+        counts = np.bincount(donor, minlength=n)
+        p = w / w.sum()
+        # chi-square-style moment check on aggregate bins
+        bins = counts.reshape(64, -1).sum(1)
+        expect = p.reshape(64, -1).sum(1) * n
+        z = (bins - expect) / np.sqrt(np.maximum(expect, 1e-9))
+        assert np.abs(z).max() < 5.0, z
+        # prefix covers the CDF: the first 256 slots span most weight deciles
+        prefix_cdf = np.cumsum(p)[donor[:256]]
+        assert prefix_cdf.min() < 0.1 and prefix_cdf.max() > 0.85
+
     def test_blocked_kernel_unsorted_positions(self):
         from beluga_tpu.ops import pallas_resample as pr
 
