@@ -72,6 +72,22 @@ def _load():
         ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int8),
     ]
+    lib.decode_laserscan_cdr.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.decode_laserscan_cdr.restype = ctypes.c_int64
+    lib.decode_odometry_cdr.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.decode_odometry_cdr.restype = ctypes.c_int64
+    lib.decode_header_stamp_cdr.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.decode_header_stamp_cdr.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -164,3 +180,121 @@ def decode_pgm_trinary(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# rosbag2 CDR message decoding (native with pure-python fallback)
+# ---------------------------------------------------------------------------
+
+
+class _CdrReader:
+    """Minimal XCDR1 little-endian reader (alignment relative to byte 4)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 4
+
+    def align(self, n: int):
+        rem = (self.pos - 4) % n
+        if rem:
+            self.pos += n - rem
+
+    def read(self, fmt: str, size: int):
+        import struct
+
+        self.align(size)
+        v = struct.unpack_from("<" + fmt, self.data, self.pos)[0]
+        self.pos += size
+        return v
+
+    def skip_string(self):
+        n = self.read("I", 4)
+        self.pos += n
+
+    def skip_header(self):
+        self.read("i", 4)
+        self.read("I", 4)
+        self.skip_string()
+
+
+def decode_laserscan_cdr(data: bytes):
+    """sensor_msgs/LaserScan CDR blob → (params dict, ranges f32[N]).
+
+    params: angle_min, angle_max, angle_increment, scan_time, range_min,
+    range_max.  Little-endian XCDR1 (the rosbag2/DDS default) only.
+    """
+    buf = np.frombuffer(data, np.uint8)
+    lib = _load()
+    if lib is not None:
+        params = np.empty(6, np.float32)
+        cap = max((len(data) - 40) // 4, 16)
+        ranges = np.empty(cap, np.float32)
+        n = lib.decode_laserscan_cdr(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        )
+        if n < 0:
+            raise ValueError("malformed LaserScan CDR message")
+        if n > cap:  # cannot happen (cap bounds the blob size), but be safe
+            ranges = np.empty(n, np.float32)
+            n = lib.decode_laserscan_cdr(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+                params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            )
+        keys = ("angle_min", "angle_max", "angle_increment", "scan_time",
+                "range_min", "range_max")
+        return dict(zip(keys, (float(v) for v in params))), ranges[:n].copy()
+    # fallback
+    if len(data) < 4 or data[1] != 0x01:
+        raise ValueError("malformed LaserScan CDR message")
+    r = _CdrReader(data)
+    r.skip_header()
+    vals = [r.read("f", 4) for _ in range(7)]
+    n = r.read("I", 4)
+    ranges = np.frombuffer(data, np.float32, count=n, offset=r.pos)
+    params = dict(
+        angle_min=vals[0], angle_max=vals[1], angle_increment=vals[2],
+        scan_time=vals[4], range_min=vals[5], range_max=vals[6],
+    )
+    return params, ranges.copy()
+
+
+def decode_odometry_cdr(data: bytes) -> np.ndarray:
+    """nav_msgs/Odometry CDR blob → pose (x, y, z, qx, qy, qz, qw) f64[7]."""
+    buf = np.frombuffer(data, np.uint8)
+    lib = _load()
+    if lib is not None:
+        out = np.empty(7, np.float64)
+        rc = lib.decode_odometry_cdr(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc < 0:
+            raise ValueError("malformed Odometry CDR message")
+        return out
+    if len(data) < 4 or data[1] != 0x01:
+        raise ValueError("malformed Odometry CDR message")
+    r = _CdrReader(data)
+    r.skip_header()
+    r.skip_string()  # child_frame_id
+    return np.asarray([r.read("d", 8) for _ in range(7)], np.float64)
+
+
+def decode_header_stamp_cdr(data: bytes):
+    """(sec, nanosec) of any Header-led message."""
+    buf = np.frombuffer(data, np.uint8)
+    lib = _load()
+    if lib is not None:
+        sec = ctypes.c_int64()
+        nsec = ctypes.c_int64()
+        rc = lib.decode_header_stamp_cdr(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            ctypes.byref(sec), ctypes.byref(nsec),
+        )
+        if rc < 0:
+            raise ValueError("malformed CDR message")
+        return sec.value, nsec.value
+    r = _CdrReader(data)
+    return r.read("i", 4), r.read("I", 4)

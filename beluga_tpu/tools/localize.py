@@ -35,7 +35,14 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None, initial_pose=Non
     from beluga_tpu.utils.profiling import LatencyRecorder
 
     cfg = load_config(params_yaml) if params_yaml else AmclNodeConfig()
-    data = np.load(input_npz)
+    if str(input_npz).endswith((".db3", ".sqlite3")):
+        # rosbag2 bagfile: decode LaserScan/Odometry CDR blobs directly
+        # (io/rosbag.py) — the reference's bag-replay entry point
+        from beluga_tpu.io.rosbag import read_bag_stream
+
+        data = read_bag_stream(input_npz)
+    else:
+        data = np.load(input_npz)
     odom = np.asarray(data["odom"], np.float64)
     scans = np.asarray(data["scans"], np.float32)
     angle_min = float(data["angle_min"])

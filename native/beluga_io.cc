@@ -126,3 +126,115 @@ void pgm_to_trinary(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rosbag2 CDR message decoding (XCDR1 little-endian, the rosbag2 default).
+//
+// The reference ships its system-test inputs as rosbag2 .db3 bagfiles
+// (beluga_example/bags/; replayed by beluga_system_tests).  A bag is a
+// sqlite3 database (read host-side in Python) whose message blobs are
+// DDS-CDR serialized; these decoders parse the two message types the
+// localization pipeline needs.  Layout: 4-byte encapsulation header
+// {representation id/options}, then fields in declaration order, with
+// primitives aligned to their size relative to the end of the header.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CdrCursor {
+  const uint8_t* buf;
+  int64_t len;
+  int64_t pos;  // absolute; alignment is relative to byte 4
+
+  bool ok() const { return pos >= 0 && pos <= len; }
+  void align(int64_t n) {
+    const int64_t rel = pos - 4;
+    const int64_t rem = rel % n;
+    if (rem) pos += n - rem;
+  }
+  template <typename T>
+  T read() {
+    align(sizeof(T));
+    if (pos + static_cast<int64_t>(sizeof(T)) > len) {
+      pos = -1;
+      return T{};
+    }
+    T v;
+    std::memcpy(&v, buf + pos, sizeof(T));
+    pos += sizeof(T);
+    return v;
+  }
+  void skip_string() {
+    const uint32_t n = read<uint32_t>();  // length including NUL
+    if (pos < 0 || pos + static_cast<int64_t>(n) > len) {
+      pos = -1;
+      return;
+    }
+    pos += n;
+  }
+  void skip_header() {       // std_msgs/Header
+    read<int32_t>();         // stamp.sec
+    read<uint32_t>();        // stamp.nanosec
+    skip_string();           // frame_id
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Decode sensor_msgs/msg/LaserScan.  Writes up to max_ranges range values
+// and the 6 scan parameters (angle_min, angle_max, angle_increment,
+// scan_time, range_min, range_max).  Returns the number of ranges in the
+// message (may exceed max_ranges; caller re-calls with a larger buffer),
+// or -1 on malformed input.  Intensities are ignored.
+int64_t decode_laserscan_cdr(
+    const uint8_t* buf, int64_t len,
+    float* params6, float* out_ranges, int64_t max_ranges) {
+  if (len < 4 || buf[1] != 0x01) return -1;  // CDR_LE only
+  CdrCursor c{buf, len, 4};
+  c.skip_header();
+  const float angle_min = c.read<float>();
+  const float angle_max = c.read<float>();
+  const float angle_increment = c.read<float>();
+  c.read<float>();  // time_increment
+  const float scan_time = c.read<float>();
+  const float range_min = c.read<float>();
+  const float range_max = c.read<float>();
+  const uint32_t n = c.read<uint32_t>();
+  if (!c.ok() || c.pos + static_cast<int64_t>(n) * 4 > len) return -1;
+  const int64_t copy = n < static_cast<uint32_t>(max_ranges)
+                           ? static_cast<int64_t>(n)
+                           : max_ranges;
+  std::memcpy(out_ranges, buf + c.pos, copy * sizeof(float));
+  params6[0] = angle_min;
+  params6[1] = angle_max;
+  params6[2] = angle_increment;
+  params6[3] = scan_time;
+  params6[4] = range_min;
+  params6[5] = range_max;
+  return static_cast<int64_t>(n);
+}
+
+// Decode nav_msgs/msg/Odometry: writes (x, y, z, qx, qy, qz, qw) of
+// pose.pose.  Returns 0, or -1 on malformed input.
+int64_t decode_odometry_cdr(const uint8_t* buf, int64_t len, double* out7) {
+  if (len < 4 || buf[1] != 0x01) return -1;
+  CdrCursor c{buf, len, 4};
+  c.skip_header();
+  c.skip_string();  // child_frame_id
+  for (int i = 0; i < 7; ++i) out7[i] = c.read<double>();
+  return c.ok() ? 0 : -1;
+}
+
+// Decode the stamp (sec, nanosec) of any message starting with a Header.
+int64_t decode_header_stamp_cdr(
+    const uint8_t* buf, int64_t len, int64_t* sec, int64_t* nanosec) {
+  if (len < 4 || buf[1] != 0x01) return -1;
+  CdrCursor c{buf, len, 4};
+  *sec = c.read<int32_t>();
+  *nanosec = c.read<uint32_t>();
+  return c.ok() ? 0 : -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,204 @@
+"""rosbag2 .db3 reading + CDR decoding (native and fallback paths)."""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+from beluga_tpu.io import native
+from beluga_tpu.io.rosbag import bag_to_npz, read_bag_stream, read_bag_topics
+
+
+# ---------------------------------------------------------------------------
+# CDR encoders (test oracles): XCDR1 little-endian, alignment rel. to byte 4
+# ---------------------------------------------------------------------------
+
+
+class CdrWriter:
+    def __init__(self):
+        self.buf = bytearray(b"\x00\x01\x00\x00")  # CDR_LE encapsulation
+
+    def align(self, n):
+        rem = (len(self.buf) - 4) % n
+        if rem:
+            self.buf += b"\x00" * (n - rem)
+
+    def write(self, fmt, size, v):
+        self.align(size)
+        self.buf += struct.pack("<" + fmt, v)
+
+    def string(self, s):
+        data = s.encode() + b"\x00"
+        self.write("I", 4, len(data))
+        self.buf += data
+
+    def header(self, sec=7, nsec=9, frame="odom"):
+        self.write("i", 4, sec)
+        self.write("I", 4, nsec)
+        self.string(frame)
+
+
+def encode_laserscan(ranges, angle_min=-1.5, angle_inc=0.01,
+                     range_min=0.1, range_max=12.0, intensities=True):
+    w = CdrWriter()
+    w.header(frame="base_scan")
+    for v in (angle_min, angle_min + angle_inc * (len(ranges) - 1), angle_inc,
+              0.0, 0.2, range_min, range_max):
+        w.write("f", 4, v)
+    w.write("I", 4, len(ranges))
+    for r in ranges:
+        w.write("f", 4, float(r))
+    if intensities:
+        w.write("I", 4, len(ranges))
+        for _ in ranges:
+            w.write("f", 4, 1.0)
+    return bytes(w.buf)
+
+
+def encode_odometry(x, y, yaw, frame="odom", child="base_link"):
+    w = CdrWriter()
+    w.header(frame=frame)
+    w.string(child)
+    qz, qw = np.sin(yaw / 2), np.cos(yaw / 2)
+    for v in (x, y, 0.0, 0.0, 0.0, qz, qw):
+        w.write("d", 8, float(v))
+    for _ in range(36):  # pose covariance
+        w.write("d", 8, 0.0)
+    # twist + its covariance
+    for _ in range(6 + 36):
+        w.write("d", 8, 0.0)
+    return bytes(w.buf)
+
+
+@pytest.fixture(params=["native", "fallback"])
+def decoder_mode(request, monkeypatch):
+    if request.param == "fallback":
+        monkeypatch.setattr(native, "_load", lambda: None)
+    elif not native.native_available():
+        pytest.skip("native library unavailable")
+    return request.param
+
+
+class TestCdrDecode:
+    def test_laserscan_roundtrip(self, decoder_mode):
+        ranges = np.asarray([1.0, 2.5, np.inf, 0.5], np.float32)
+        params, got = native.decode_laserscan_cdr(encode_laserscan(ranges))
+        np.testing.assert_array_equal(got, ranges)
+        assert params["angle_min"] == pytest.approx(-1.5)
+        assert params["angle_increment"] == pytest.approx(0.01)
+        assert params["range_min"] == pytest.approx(0.1)
+        assert params["range_max"] == pytest.approx(12.0)
+        assert params["scan_time"] == pytest.approx(0.2)
+
+    def test_odometry_roundtrip(self, decoder_mode):
+        pose = native.decode_odometry_cdr(encode_odometry(1.5, -2.25, 0.7))
+        assert pose[0] == pytest.approx(1.5)
+        assert pose[1] == pytest.approx(-2.25)
+        yaw = 2 * np.arctan2(pose[5], pose[6])
+        assert yaw == pytest.approx(0.7, abs=1e-12)
+
+    def test_header_stamp(self, decoder_mode):
+        sec, nsec = native.decode_header_stamp_cdr(encode_laserscan([1.0]))
+        assert (sec, nsec) == (7, 9)
+
+    def test_big_endian_rejected(self, decoder_mode):
+        blob = bytearray(encode_laserscan([1.0]))
+        blob[1] = 0x00  # CDR_BE
+        with pytest.raises(ValueError):
+            native.decode_laserscan_cdr(bytes(blob))
+
+    def test_native_matches_fallback(self):
+        if not native.native_available():
+            pytest.skip("native library unavailable")
+        ranges = np.asarray(np.linspace(0.2, 9.0, 37), np.float32)
+        blob = encode_laserscan(ranges)
+        p1, r1 = native.decode_laserscan_cdr(blob)
+        lib = native._load
+        try:
+            native._load = lambda: None
+            p2, r2 = native.decode_laserscan_cdr(blob)
+        finally:
+            native._load = lib
+        assert p1 == p2
+        np.testing.assert_array_equal(r1, r2)
+
+
+# ---------------------------------------------------------------------------
+# synthetic .db3 bag
+# ---------------------------------------------------------------------------
+
+
+def make_bag(path, n_scans=6):
+    db = sqlite3.connect(path)
+    db.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT)"
+    )
+    db.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    topics = [
+        (1, "/scan", "sensor_msgs/msg/LaserScan", "cdr", ""),
+        (2, "/odom", "nav_msgs/msg/Odometry", "cdr", ""),
+        (3, "/odometry/ground_truth", "nav_msgs/msg/Odometry", "cdr", ""),
+    ]
+    db.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", topics)
+    mid = 1
+    for t in range(n_scans):
+        ts = 1000 + 100 * t
+        # odometry slightly before each scan; ground truth offset by +1 m
+        db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                   (mid, 2, ts - 5, encode_odometry(0.1 * t, 0.0, 0.05 * t)))
+        mid += 1
+        db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                   (mid, 3, ts - 5, encode_odometry(0.1 * t + 1.0, 0.0, 0.05 * t)))
+        mid += 1
+        db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                   (mid, 1, ts, encode_laserscan([1.0 + t, 2.0, 3.0])))
+        mid += 1
+    db.commit()
+    db.close()
+
+
+class TestBagReading:
+    def test_topics(self, tmp_path):
+        bag = tmp_path / "test.db3"
+        make_bag(bag)
+        topics = read_bag_topics(bag)
+        assert topics["/scan"][1] == "sensor_msgs/msg/LaserScan"
+        assert len(topics) == 3
+
+    def test_stream(self, tmp_path):
+        bag = tmp_path / "test.db3"
+        make_bag(bag, n_scans=5)
+        s = read_bag_stream(bag)
+        assert s["scans"].shape == (5, 3)
+        np.testing.assert_allclose(s["scans"][:, 0], 1.0 + np.arange(5))
+        # odom paired with the latest message at/before each scan stamp
+        np.testing.assert_allclose(s["odom"][:, 0], 0.1 * np.arange(5), atol=1e-12)
+        np.testing.assert_allclose(s["odom"][:, 2], 0.05 * np.arange(5), atol=1e-12)
+        # ground-truth topic auto-detected by name, not picked as odom
+        np.testing.assert_allclose(
+            s["ground_truth"][:, 0], 0.1 * np.arange(5) + 1.0, atol=1e-12
+        )
+        assert float(s["angle_min"]) == pytest.approx(-1.5)
+
+    def test_npz_roundtrip(self, tmp_path):
+        bag = tmp_path / "test.db3"
+        make_bag(bag)
+        out = tmp_path / "stream.npz"
+        bag_to_npz(bag, out)
+        data = np.load(out)
+        assert "odom" in data and "scans" in data and "ground_truth" in data
+
+    def test_explicit_and_missing_topics(self, tmp_path):
+        bag = tmp_path / "test.db3"
+        make_bag(bag)
+        s = read_bag_stream(bag, odom_topic="/odometry/ground_truth",
+                            ground_truth_topic="/odom")
+        np.testing.assert_allclose(s["odom"][:, 0] - 1.0, s["ground_truth"][:, 0],
+                                   atol=1e-12)
+        with pytest.raises(KeyError):
+            read_bag_stream(bag, scan_topic="/nope")
