@@ -65,9 +65,24 @@ def cluster_based_estimate(
     weights: Array,
     mask: Array | None = None,
     params: ClusterizerParams = ClusterizerParams(),
+    method: str = "auto",
 ):
-    """Returns ``(SE2 mean, f32[3,3] cov)`` of the heaviest particle cluster."""
+    """Returns ``(SE2 mean, f32[3,3] cov)`` of the heaviest particle cluster.
+
+    ``method``: ``"dense"`` (O(N²) equality-matrix compares + moment
+    matmuls — no sort/unique/scatter/searchsorted, the TPU-friendly form
+    at node/fleet particle counts), ``"sparse"`` (unique + segment sums,
+    O(N log N) memory-lean — the mega-filter form), or ``"auto"``
+    (dense for N ≤ 4096).  Both produce identical results (same
+    deterministic tie-breaking; asserted by tests).
+    """
     n = weights.shape[0]
+    if method == "auto":
+        method = "dense" if n <= 4096 else "sparse"
+    if method == "dense":
+        return _cluster_based_estimate_dense(states, weights, mask, params)
+    if method != "sparse":
+        raise ValueError(f"unknown method: {method!r}")
     if mask is None:
         mask = jnp.ones(n, bool)
     w = jnp.where(mask, weights.astype(jnp.float32), 0.0)
@@ -175,6 +190,18 @@ def cluster_based_estimate(
     W2 = ssum(w * w)
     cnt = jax.ops.segment_sum(mask.astype(jnp.int32), seg, num_segments=n)
 
+    eligible = (cnt > 1) & (jnp.arange(n) == root)  # roots only
+    return _pick_cluster(
+        W, Wx, Wy, Wc, Ws, Wxx, Wyy, Wxy, W2, eligible, states, weights, mask
+    )
+
+
+def _pick_cluster(W, Wx, Wy, Wc, Ws, Wxx, Wyy, Wxy, W2, eligible,
+                  states, weights, mask):
+    """Per-cluster raw moments → heaviest eligible cluster's SE2 estimate
+    (estimation.hpp per cluster, incl. the 1/(1-Σw²) correction and
+    circular yaw variance), with the plain-estimate fallback
+    (cluster_based_estimation.hpp:423-426)."""
     Wsafe = jnp.maximum(W, 1e-38)
     mx, my = Wx / Wsafe, Wy / Wsafe
     mc, ms = Wc / Wsafe, Ws / Wsafe
@@ -186,8 +213,6 @@ def cluster_based_estimate(
     norm = jnp.sqrt(mc * mc + ms * ms)
     yaw_var = jnp.where(norm < 1e-7, jnp.inf, -2.0 * jnp.log(jnp.maximum(norm, 1e-38)))
 
-    # choose the heaviest multi-particle cluster
-    eligible = (cnt > 1) & (jnp.arange(n) == root)  # roots only
     any_eligible = jnp.any(eligible)
     best_cluster = jnp.argmax(jnp.where(eligible, W, -jnp.inf))
 
@@ -212,3 +237,142 @@ def cluster_based_estimate(
         lambda u, v: jnp.where(any_eligible, u, v), a, b
     )
     return pick(mean, fb_mean), pick(cov, fb_cov)
+
+
+def _cluster_based_estimate_dense(
+    states: SE2,
+    weights: Array,
+    mask: Array | None,
+    params: ClusterizerParams,
+):
+    """O(N²) form of the clusterizer: every unique/segment_sum/searchsorted
+    of the sparse path becomes an equality-matrix compare-reduce (VPU) —
+    no sorts except the N-length percentile sort, no scatters, no
+    serialized gathers (index applications ride one-hot reductions).
+    Cell identity = the cell's first particle (input order), matching the
+    sparse path's representative choice; ranks tie-break by ascending
+    hash, matching the sparse path's sorted-hash cell order."""
+    n = weights.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    w = jnp.where(mask, weights.astype(jnp.float32), 0.0)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    h = spatial_hash_se2(
+        states.xy, states.theta,
+        params.linear_hash_resolution, params.angular_hash_resolution,
+    )
+    h = jnp.where(mask, h, _SENTINEL)
+
+    # -- cells: same-hash equality over alive particles ----------------------
+    alive2 = mask[:, None] & mask[None, :]
+    eq = (h[:, None] == h[None, :]) & alive2  # [N, N]
+    rep = jnp.min(jnp.where(eq, iota[None, :], n), axis=1).astype(jnp.int32)
+    rep = jnp.where(mask, rep, iota)
+    is_rep = mask & (rep == iota)
+    eqf = eq.astype(jnp.float32)
+    cell_cnt = jnp.sum(eqf, axis=1)
+    cell_w = jnp.sum(jnp.where(eq, w[None, :], 0.0), axis=1) / jnp.maximum(
+        cell_cnt, 1.0
+    )  # mean weight, carried at every member (hpp:175-189)
+
+    # -- percentile cap ------------------------------------------------------
+    num_cells = jnp.sum(is_rep.astype(jnp.int32))
+    order = jnp.sort(jnp.where(is_rep, cell_w, jnp.inf))
+    k = (num_cells.astype(jnp.float32) * params.weight_cap_percentile).astype(
+        jnp.int32
+    )
+    cap = order[jnp.clip(k, 0, n - 1)]
+    cap = jnp.where(jnp.isfinite(cap), cap, jnp.inf)
+    cell_w = jnp.minimum(cell_w, cap)
+
+    # -- rank: #cells dominating (desc weight, asc hash — the sparse path's
+    # stable argsort order over hash-sorted cells) ---------------------------
+    dom = is_rep[None, :] & (
+        (cell_w[None, :] > cell_w[:, None])
+        | ((cell_w[None, :] == cell_w[:, None]) & (h[None, :] < h[:, None]))
+    )
+    rank = jnp.sum(dom, axis=1).astype(jnp.int32)
+
+    # -- neighbor parents over the 6-neighborhood ----------------------------
+    # representative state per particle, via one-hot reduction (no gather)
+    oh_rep = rep[:, None] == iota[None, :]  # [N, N]
+
+    def take_rep(v):
+        return jnp.sum(jnp.where(oh_rep, v[None, :], 0.0), axis=1)
+
+    rx, ry = take_rep(states.x), take_rep(states.y)
+    rc, rs = take_rep(states.rot.cos), take_rep(states.rot.sin)
+
+    lin, ang = params.linear_hash_resolution, params.angular_hash_resolution
+    offsets = jnp.asarray(
+        [
+            [lin, 0.0, 0.0],
+            [-lin, 0.0, 0.0],
+            [0.0, lin, 0.0],
+            [0.0, -lin, 0.0],
+            [0.0, 0.0, ang],
+            [0.0, 0.0, -ang],
+        ],
+        jnp.float32,
+    )
+    big = jnp.int32(n)
+    best_w = jnp.full(n, -jnp.inf)
+    best_key = jnp.full(n, -jnp.inf)
+    best_idx = iota
+    has_parent = jnp.zeros(n, bool)
+    rep_theta = jnp.arctan2(rs, rc)
+    for k6 in range(6):
+        ox, oy, oth = offsets[k6, 0], offsets[k6, 1], offsets[k6, 2]
+        nx = rx + rc * ox - rs * oy
+        ny = ry + rs * ox + rc * oy
+        nth = SO2.exp(rep_theta + oth).log()
+        nh = spatial_hash_se2(jnp.stack([nx, ny], -1), nth, lin, ang)  # [N]
+        m = is_rep[None, :] & (h[None, :] == nh[:, None])  # [N, N], ≤1 true/row
+        valid = jnp.any(m, axis=1)
+        nw = jnp.sum(jnp.where(m, cell_w[None, :], 0.0), axis=1)
+        nr = jnp.sum(jnp.where(m, rank[None, :].astype(jnp.float32), 0.0), axis=1)
+        nidx = jnp.sum(jnp.where(m, iota[None, :], 0), axis=1).astype(jnp.int32)
+        nw = jnp.where(valid, nw, -jnp.inf)
+        nr = jnp.where(valid, nr, jnp.float32(n))
+        dominates = valid & (
+            (nw > cell_w) | ((nw == cell_w) & (nr < rank.astype(jnp.float32)))
+        )
+        # argmax over the 6 candidates of (weight, -rank), matching sparse
+        key = jnp.where(dominates, nw, -jnp.inf) - nr * 1e-9
+        better = dominates & (key > best_key)
+        best_key = jnp.where(better, key, best_key)
+        best_idx = jnp.where(better, nidx, best_idx)
+        has_parent = has_parent | dominates
+    parent = jnp.where(is_rep & has_parent, best_idx, iota)
+
+    # -- pointer jumping via one-hot reduction (p <- p[p]) -------------------
+    def jump(_, p):
+        oh = p[:, None] == iota[None, :]
+        return jnp.sum(jnp.where(oh, p[None, :], 0), axis=1).astype(jnp.int32)
+
+    iters = max(1, (max(n, 2) - 1).bit_length())
+    root = jax.lax.fori_loop(0, iters, jump, parent)
+
+    # -- per-particle root, then per-cluster raw moments ---------------------
+    root_p = jnp.sum(jnp.where(oh_rep, root[None, :], 0), axis=1).astype(jnp.int32)
+    memb = (root_p[None, :] == iota[:, None]) & mask[None, :]  # [N(root), N(part)]
+
+    x, y = states.x, states.y
+    cz, sz = states.rot.cos, states.rot.sin
+    cols = jnp.stack(
+        [w, w * x, w * y, w * cz, w * sz, w * x * x, w * y * y, w * x * y,
+         w * w, mask.astype(jnp.float32)],
+        axis=-1,
+    )  # [N, 10]
+    sums = jax.lax.dot(
+        memb.astype(jnp.float32), cols,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [N, 10] per-cluster raw moments
+    W, Wx, Wy, Wc, Ws, Wxx, Wyy, Wxy, W2, cnt = (sums[:, i] for i in range(10))
+
+    eligible = (cnt > 1.5) & mask & (root_p == iota)  # roots only
+    return _pick_cluster(
+        W, Wx, Wy, Wc, Ws, Wxx, Wyy, Wxy, W2, eligible, states, weights, mask
+    )

@@ -345,3 +345,53 @@ class TestClusterEstimate:
         f = jax.jit(cluster_based_estimate)
         mean, cov = f(states, jnp.ones(512))
         assert np.isfinite(np.asarray(mean.xy)).all()
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_dense_matches_sparse(self, seed):
+        """The O(N²) equality-matrix form and the unique/segment-sum form
+        compute the same clusterization (same ranks, parents, cluster
+        choice) — estimates agree to float-reassociation tolerance."""
+        import functools
+
+        rng = np.random.default_rng(seed)
+        n = 700
+        # several blobs + a diffuse background + dead particles
+        centers = rng.uniform(0, 8, (4, 3))
+        idx = rng.integers(0, 4, n)
+        xyth = centers[idx] + rng.normal(0, 0.25, (n, 3))
+        states = SE2.from_xytheta(
+            jnp.asarray(xyth[:, 0], jnp.float32),
+            jnp.asarray(xyth[:, 1], jnp.float32),
+            jnp.asarray(xyth[:, 2], jnp.float32),
+        )
+        w = jnp.asarray(rng.random(n).astype(np.float32))
+        mask = jnp.asarray(rng.random(n) > 0.1)
+
+        md, cd = jax.jit(
+            functools.partial(cluster_based_estimate, method="dense")
+        )(states, w, mask)
+        ms, cs = jax.jit(
+            functools.partial(cluster_based_estimate, method="sparse")
+        )(states, w, mask)
+        np.testing.assert_allclose(np.asarray(md.xy), np.asarray(ms.xy),
+                                   rtol=1e-4, atol=1e-5)
+        assert float(md.theta) == pytest.approx(float(ms.theta), abs=1e-4)
+        np.testing.assert_allclose(np.asarray(cd)[:2, :2], np.asarray(cs)[:2, :2],
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_dense_masked_and_fallback(self):
+        # masked exclusion and the all-singletons fallback on the dense path
+        xy = np.array([[0.0, 0.0]] * 10 + [[9.0, 9.0]] * 10, np.float32)
+        states = SE2.from_xytheta(
+            jnp.asarray(xy[:, 0]), jnp.asarray(xy[:, 1]), jnp.zeros(20)
+        )
+        mask = jnp.asarray([True] * 10 + [False] * 10)
+        mean, _ = cluster_based_estimate(states, jnp.ones(20), mask, method="dense")
+        np.testing.assert_allclose(np.asarray(mean.xy), [0.0, 0.0], atol=1e-4)
+
+        xy = np.stack([np.arange(10) * 5.0, np.zeros(10)], -1).astype(np.float32)
+        states = SE2.from_xytheta(
+            jnp.asarray(xy[:, 0]), jnp.asarray(xy[:, 1]), jnp.zeros(10)
+        )
+        mean, _ = cluster_based_estimate(states, jnp.ones(10), method="dense")
+        assert float(mean.x) == pytest.approx(np.mean(xy[:, 0]), abs=1e-3)
