@@ -151,15 +151,13 @@ def cluster_based_estimate(
 
     neigh_ok = neigh_idx >= 0
     safe_idx = jnp.clip(neigh_idx, 0, n - 1)
-    nw = jnp.where(neigh_ok, cell_w[safe_idx], -jnp.inf)  # [n, 6]
     nr = jnp.where(neigh_ok, rank[safe_idx], big)
-    # dominates: higher weight, or equal weight with lower rank
-    self_w, self_r = cell_w[:, None], rank[:, None]
-    dominates = (nw > self_w) | ((nw == self_w) & (nr < self_r))
-    # pick the dominating neighbor with best (weight, -rank); the tiny rank
-    # penalty makes the argmax lexicographic on equal weights
-    score = jnp.where(dominates, nw, -jnp.inf)
-    best = jnp.argmax(score - nr.astype(jnp.float32) * 1e-9, axis=1)
+    # rank is a total order on (desc weight, asc hash), so "dominates"
+    # (higher weight, or equal weight with lower rank) is exactly
+    # rank < self_rank, and the (weight, -rank)-argmax parent is exactly
+    # the min-rank dominating neighbor — no float-epsilon key needed
+    dominates = nr < rank[:, None]
+    best = jnp.argmin(jnp.where(dominates, nr, big), axis=1)
     has_parent = jnp.any(dominates, axis=1)
     parent = jnp.where(
         has_parent, safe_idx[jnp.arange(n), best], jnp.arange(n, dtype=jnp.int32)
@@ -317,10 +315,8 @@ def _cluster_based_estimate_dense(
         jnp.float32,
     )
     big = jnp.int32(n)
-    best_w = jnp.full(n, -jnp.inf)
-    best_key = jnp.full(n, -jnp.inf)
+    best_nr = jnp.full(n, big)
     best_idx = iota
-    has_parent = jnp.zeros(n, bool)
     rep_theta = jnp.arctan2(rs, rc)
     for k6 in range(6):
         ox, oy, oth = offsets[k6, 0], offsets[k6, 1], offsets[k6, 2]
@@ -330,21 +326,16 @@ def _cluster_based_estimate_dense(
         nh = spatial_hash_se2(jnp.stack([nx, ny], -1), nth, lin, ang)  # [N]
         m = is_rep[None, :] & (h[None, :] == nh[:, None])  # [N, N], ≤1 true/row
         valid = jnp.any(m, axis=1)
-        nw = jnp.sum(jnp.where(m, cell_w[None, :], 0.0), axis=1)
-        nr = jnp.sum(jnp.where(m, rank[None, :].astype(jnp.float32), 0.0), axis=1)
+        nr = jnp.sum(jnp.where(m, rank[None, :], 0), axis=1)
         nidx = jnp.sum(jnp.where(m, iota[None, :], 0), axis=1).astype(jnp.int32)
-        nw = jnp.where(valid, nw, -jnp.inf)
-        nr = jnp.where(valid, nr, jnp.float32(n))
-        dominates = valid & (
-            (nw > cell_w) | ((nw == cell_w) & (nr < rank.astype(jnp.float32)))
-        )
-        # argmax over the 6 candidates of (weight, -rank), matching sparse
-        key = jnp.where(dominates, nw, -jnp.inf) - nr * 1e-9
-        better = dominates & (key > best_key)
-        best_key = jnp.where(better, key, best_key)
+        nr = jnp.where(valid, nr, big)
+        # rank totally orders (desc weight, asc hash): dominance is
+        # rank < self_rank, best parent is the min-rank dominator
+        dominates = nr < rank
+        better = dominates & (nr < best_nr)
+        best_nr = jnp.where(better, nr, best_nr)
         best_idx = jnp.where(better, nidx, best_idx)
-        has_parent = has_parent | dominates
-    parent = jnp.where(is_rep & has_parent, best_idx, iota)
+    parent = jnp.where(is_rep & (best_nr < rank), best_idx, iota)
 
     # -- pointer jumping via one-hot reduction (p <- p[p]) -------------------
     def jump(_, p):

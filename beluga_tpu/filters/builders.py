@@ -185,7 +185,7 @@ def make_shared_scan_filter(
     motion_params: Any = DifferentialDriveParams(),
     n_theta: int = 128,
     max_point_radius: float = 4.0,
-    lut_build: str = "pallas",
+    lut_build: str | None = None,
     lut_build_kwargs: dict | None = None,
 ):
     """Likelihood-field AMCL for fleets that score the *same* scan.
@@ -197,7 +197,8 @@ def make_shared_scan_filter(
 
     ``lut_build`` selects the per-scan build backend: ``"pallas"`` (VMEM
     kernel, the TPU default), ``"roll"`` (XLA shifted accumulations — same
-    numbers, portable), or ``"fft"`` (spectral, cheap at large K but
+    numbers, portable; the default off-TPU where the Pallas kernel would
+    run interpreted), or ``"fft"`` (spectral, cheap at large K but
     periodic-sinc sampled).  ``lut_build_kwargs`` are forwarded to the
     build function (e.g. ``sampling="nearest"``, ``downsample=2`` for the
     Pallas backend's speed/accuracy knobs).
@@ -218,6 +219,8 @@ def make_shared_scan_filter(
         "pallas": build_scan_lut_pallas,
         "fft": build_scan_lut_fft,
     }
+    if lut_build is None:
+        lut_build = "pallas" if jax.default_backend() == "tpu" else "roll"
     if lut_build not in builders:
         raise ValueError(f"unknown lut_build: {lut_build!r}")
     build_fn = builders[lut_build]

@@ -203,7 +203,10 @@ class _CdrReader:
         import struct
 
         self.align(size)
-        v = struct.unpack_from("<" + fmt, self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from("<" + fmt, self.data, self.pos)[0]
+        except struct.error as e:
+            raise ValueError(f"malformed CDR message: {e}") from None
         self.pos += size
         return v
 
@@ -296,5 +299,7 @@ def decode_header_stamp_cdr(data: bytes):
         if rc < 0:
             raise ValueError("malformed CDR message")
         return sec.value, nsec.value
+    if len(data) < 4 or data[1] != 0x01:
+        raise ValueError("malformed CDR message")
     r = _CdrReader(data)
     return r.read("i", 4), r.read("I", 4)

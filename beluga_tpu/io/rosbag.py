@@ -72,12 +72,16 @@ def read_bag_stream(
     scan_topic = pick(scan_topic, _SCAN_TYPES)
     if scan_topic is None:
         raise ValueError(f"no LaserScan topic in bag: {list(topics)}")
-    ground_truth_topic = ground_truth_topic or pick(
-        None, _ODOM_TYPES, name_hint="ground_truth"
+    ground_truth_topic = pick(
+        ground_truth_topic, _ODOM_TYPES, name_hint="ground_truth"
     )
     odom_topic = pick(
         odom_topic, _ODOM_TYPES, exclude=(ground_truth_topic or "",)
     )
+    if odom_topic is None and ground_truth_topic is not None:
+        # a perfect-odometry recording whose only Odometry topic is the
+        # ground truth: drive the filter with it too
+        odom_topic = ground_truth_topic
     if odom_topic is None:
         raise ValueError(f"no Odometry topic in bag: {list(topics)}")
 
@@ -108,14 +112,20 @@ def read_bag_stream(
     odom_ts, odom_xyyaw = decode_odom_series(odom_rows)
     gt_ts, gt_xyyaw = decode_odom_series(gt_rows) if gt_rows else (None, None)
 
-    params0, ranges0 = decode_laserscan_cdr(bytes(scan_rows[0][1]))
-    nb = len(ranges0)
-    scans = np.full((len(scan_rows), nb), np.nan, np.float32)
+    params0 = None
+    decoded = []
     scan_ts = np.empty(len(scan_rows), np.int64)
     for i, (t, blob) in enumerate(scan_rows):
-        _, r = decode_laserscan_cdr(bytes(blob))
-        scans[i, : min(len(r), nb)] = r[:nb]
+        p, r = decode_laserscan_cdr(bytes(blob))
+        params0 = params0 or p
+        decoded.append(r)
         scan_ts[i] = t
+    # width = the longest scan (a short first scan must not truncate the
+    # rest); missing tail beams stay NaN = invalid
+    nb = max(len(r) for r in decoded)
+    scans = np.full((len(scan_rows), nb), np.nan, np.float32)
+    for i, r in enumerate(decoded):
+        scans[i, : len(r)] = r
 
     def sample_at(ts, series, query_ts):
         idx = np.clip(np.searchsorted(ts, query_ts, side="right") - 1, 0, len(ts) - 1)

@@ -89,7 +89,11 @@ def sorted_multinomial_positions(key: Array, num: int) -> Array:
     # cummax: XLA's parallel cumsum can dip ~1 ulp at scan-block
     # boundaries; downstream kernels rely on sortedness
     s = jax.lax.cummax(jnp.cumsum(e))
-    return s[:-1] / jnp.maximum(s[-1], 1e-38)
+    u = s[:-1] / jnp.maximum(s[-1], 1e-38)
+    # f32 rounding can make the top ratio exactly 1.0 (P ≈ 1% at 262k),
+    # which downstream interval kernels map to the (possibly dead) last
+    # slot; clamp into [0, 1) per the contract
+    return jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
 
 
 def interleave_slots(x: Array, rows: int = 512) -> Array:

@@ -148,6 +148,7 @@ struct CdrCursor {
 
   bool ok() const { return pos >= 0 && pos <= len; }
   void align(int64_t n) {
+    if (pos < 0) return;  // failed cursors stay failed
     const int64_t rel = pos - 4;
     const int64_t rem = rel % n;
     if (rem) pos += n - rem;
@@ -155,7 +156,7 @@ struct CdrCursor {
   template <typename T>
   T read() {
     align(sizeof(T));
-    if (pos + static_cast<int64_t>(sizeof(T)) > len) {
+    if (pos < 0 || pos + static_cast<int64_t>(sizeof(T)) > len) {
       pos = -1;
       return T{};
     }

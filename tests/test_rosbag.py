@@ -108,6 +108,20 @@ class TestCdrDecode:
         with pytest.raises(ValueError):
             native.decode_laserscan_cdr(bytes(blob))
 
+    def test_truncated_blobs_rejected(self, decoder_mode):
+        """A failed cursor must stay failed: blobs truncated inside the
+        read region raise instead of silently decoding garbage from
+        re-aligned positions."""
+        scan = encode_laserscan([1.0, 2.0, 3.0], intensities=False)
+        for cut in (5, 12, 30, len(scan) - 2):
+            with pytest.raises(ValueError):
+                native.decode_laserscan_cdr(scan[:cut])
+        odom = encode_odometry(1.0, 2.0, 0.5)
+        # pose region ends after header + child_frame_id + 7 doubles
+        for cut in (5, 12, 40, 60):
+            with pytest.raises(ValueError):
+                native.decode_odometry_cdr(odom[:cut])
+
     def test_native_matches_fallback(self):
         if not native.native_available():
             pytest.skip("native library unavailable")
@@ -193,6 +207,65 @@ class TestBagReading:
         data = np.load(out)
         assert "odom" in data and "scans" in data and "ground_truth" in data
 
+    def test_ground_truth_only_bag(self, tmp_path):
+        """A bag whose only Odometry topic is the ground truth drives the
+        filter with it instead of raising."""
+        bag = tmp_path / "gt_only.db3"
+        db = sqlite3.connect(bag)
+        db.execute(
+            "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+            " serialization_format TEXT, offered_qos_profiles TEXT)"
+        )
+        db.execute(
+            "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+            " timestamp INTEGER, data BLOB)"
+        )
+        db.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", [
+            (1, "/scan", "sensor_msgs/msg/LaserScan", "cdr", ""),
+            (2, "/odometry/ground_truth", "nav_msgs/msg/Odometry", "cdr", ""),
+        ])
+        mid = 1
+        for t in range(3):
+            db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                       (mid, 2, 1000 + 100 * t - 5,
+                        encode_odometry(0.1 * t, 0.0, 0.0)))
+            mid += 1
+            db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                       (mid, 1, 1000 + 100 * t, encode_laserscan([1.0, 2.0])))
+            mid += 1
+        db.commit()
+        db.close()
+        s = read_bag_stream(bag)
+        np.testing.assert_allclose(s["odom"], s["ground_truth"])
+
+    def test_short_first_scan_does_not_truncate(self, tmp_path):
+        bag = tmp_path / "short_first.db3"
+        db = sqlite3.connect(bag)
+        db.execute(
+            "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+            " serialization_format TEXT, offered_qos_profiles TEXT)"
+        )
+        db.execute(
+            "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+            " timestamp INTEGER, data BLOB)"
+        )
+        db.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", [
+            (1, "/scan", "sensor_msgs/msg/LaserScan", "cdr", ""),
+            (2, "/odom", "nav_msgs/msg/Odometry", "cdr", ""),
+        ])
+        db.execute("INSERT INTO messages VALUES (1, 2, 995, ?)",
+                   (encode_odometry(0, 0, 0),))
+        db.execute("INSERT INTO messages VALUES (2, 1, 1000, ?)",
+                   (encode_laserscan([1.0]),))  # short startup scan
+        db.execute("INSERT INTO messages VALUES (3, 1, 1100, ?)",
+                   (encode_laserscan([1.0, 2.0, 3.0, 4.0]),))
+        db.commit()
+        db.close()
+        s = read_bag_stream(bag)
+        assert s["scans"].shape == (2, 4)
+        np.testing.assert_allclose(s["scans"][1], [1.0, 2.0, 3.0, 4.0])
+        assert np.isnan(s["scans"][0, 1:]).all()
+
     def test_explicit_and_missing_topics(self, tmp_path):
         bag = tmp_path / "test.db3"
         make_bag(bag)
@@ -202,3 +275,5 @@ class TestBagReading:
                                    atol=1e-12)
         with pytest.raises(KeyError):
             read_bag_stream(bag, scan_topic="/nope")
+        with pytest.raises(KeyError):
+            read_bag_stream(bag, ground_truth_topic="/typo")
