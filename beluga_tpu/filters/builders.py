@@ -83,10 +83,12 @@ def make_likelihood_field_filter(
 
     ``lookup_mode``: 'auto' | 'gather' | 'onehot' (exact), 'codebook'
     (exact-to-codebook 8-bit code table, the TPU default — zero error for
-    production fields, ~2x the onehot rate), or 'lowrank' (approximate
-    SVD-factored fast path).
+    production fields, ~2x the onehot rate), 'codebook16' ('codebook' plus
+    the per-beam-window bf16 fast path: <=0.2% weight error on converged
+    particle tiles, exact elsewhere, ~3x the codebook rate when tracking),
+    or 'lowrank' (approximate SVD-factored fast path).
     """
-    valid_modes = ("auto", "gather", "onehot", "codebook", "lowrank")
+    valid_modes = ("auto", "gather", "onehot", "codebook", "codebook16", "lowrank")
     if lookup_mode not in valid_modes:
         raise ValueError(f"unknown lookup_mode {lookup_mode!r}; expected one of {valid_modes}")
     if lookup_mode == "auto" and not prob_model and jax.default_backend() == "tpu":
@@ -97,14 +99,15 @@ def make_likelihood_field_filter(
             return likelihood_field_prob_weights(
                 ctx["field"], states, points, beam_mask, lookup_mode="auto"
             )
-    elif lookup_mode == "codebook":
+    elif lookup_mode in ("codebook", "codebook16"):
         from beluga_tpu.models.sensor.likelihood_field import (
             likelihood_field_weights_codebook,
         )
 
         def log_weight(ctx, states, points, beam_mask):
             lik = likelihood_field_weights_codebook(
-                ctx["field"], ctx["field_codes"], states, points, beam_mask
+                ctx["field"], ctx["field_codes"], states, points, beam_mask,
+                values3=ctx.get("field_values3"),
             )
             return jnp.log(lik)
     elif lookup_mode == "lowrank":
@@ -145,8 +148,12 @@ def make_likelihood_field_filter(
         from beluga_tpu.ops.gather2d import factorize_table
 
         ctx["field_factors"] = factorize_table(field.values, lowrank_rank)
-    elif lookup_mode == "codebook":
+    elif lookup_mode in ("codebook", "codebook16"):
         ctx["field_codes"] = _make_field_codes(field, lf_params, grid)
+        if lookup_mode == "codebook16":
+            from beluga_tpu.ops.pallas_reweight import build_values3
+
+            ctx["field_values3"] = build_values3(*ctx["field_codes"])
     return models, ctx
 
 
@@ -170,6 +177,10 @@ def update_map_ctx(ctx: dict, grid: OccupancyGrid, lf_params: LikelihoodFieldPar
     new_ctx = {**ctx, "grid": grid, "field": make_likelihood_field(lf_params, grid)}
     if "field_codes" in ctx:
         new_ctx["field_codes"] = _make_field_codes(new_ctx["field"], lf_params, grid)
+        if "field_values3" in ctx:
+            from beluga_tpu.ops.pallas_reweight import build_values3
+
+            new_ctx["field_values3"] = build_values3(*new_ctx["field_codes"])
     if "field_factors" in ctx:
         from beluga_tpu.ops.gather2d import factorize_table
 

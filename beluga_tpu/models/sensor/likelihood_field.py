@@ -195,6 +195,7 @@ def likelihood_field_weights_codebook(
     states: SE2,
     points: Array,
     beam_mask: Array,
+    values3: Array | None = None,
 ) -> Array:
     """AMCL-parity weights through the code-table fast path.
 
@@ -220,6 +221,7 @@ def likelihood_field_weights_codebook(
         return fused_reweight(
             codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin,
             points, beam_mask, field.resolution, field.unknown_prob,
+            values3=values3,
         )
     cos = tf.rot.cos[:, None]
     sin = tf.rot.sin[:, None]

@@ -323,3 +323,143 @@ class TestCodebook:
                              interpret=True)
         want = likelihood_field_weights(field, states, pts, mask, lookup_mode="gather")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-5)
+
+
+class TestBeamWindowFastPath:
+    """Per-beam-window bf16 fast path of the fused reweight kernel
+    (ops/pallas_reweight.py `values3=`): converged tiles use [64, 128]
+    bf16(pz^3) windows per beam, everything else falls back to the exact
+    tier path."""
+
+    def _setup(self):
+        from beluga_tpu.filters.builders import _make_field_codes
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import (
+            LikelihoodFieldParams,
+            make_likelihood_field,
+        )
+        from beluga_tpu.ops.pallas_reweight import build_values3
+
+        data = np.zeros((96, 96), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[40:44, 60:66] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.05)
+        params = LikelihoodFieldParams()
+        field = make_likelihood_field(params, grid)
+        codes, book = _make_field_codes(field, params, grid)
+        return field, codes, book, build_values3(codes, book)
+
+    def _states(self, n, cx, cy, sig_xy=0.02, sig_th=0.01, seed=5):
+        from beluga_tpu.lie import SE2
+
+        rng = np.random.default_rng(seed)
+        return SE2.from_xytheta(
+            jnp.asarray(rng.normal(cx, sig_xy, n), jnp.float32),
+            jnp.asarray(rng.normal(cy, sig_xy, n), jnp.float32),
+            jnp.asarray(rng.normal(0.4, sig_th, n), jnp.float32),
+        )
+
+    def _run(self, field, codes, book, states, pts, mask, values3):
+        from beluga_tpu.ops.pallas_reweight import fused_reweight
+
+        tf = field.world_to_field @ states
+        return fused_reweight(
+            codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin, pts, mask,
+            field.resolution, field.unknown_prob, interpret=True,
+            values3=values3,
+        )
+
+    def _scan(self, b=23, r=1.9, seed=2):
+        rng = np.random.default_rng(seed)
+        ang = np.linspace(-2.0, 2.0, b)
+        rr = rng.uniform(0.2, r, b)
+        pts = jnp.asarray(np.stack([rr * np.cos(ang), rr * np.sin(ang)], -1),
+                          jnp.float32)
+        return pts, jnp.asarray(rng.random(b) < 0.9)
+
+    def test_converged_matches_bf16_reference(self):
+        """The fast branch fires on a converged cloud and reproduces the
+        bf16(pz^3)-table reference in beam order."""
+        field, codes, book, v3 = self._setup()
+        states = self._states(130, 2.4, 2.4)
+        pts, mask = self._scan()
+        got = self._run(field, codes, book, states, pts, mask, v3)
+
+        vals3 = ((book.astype(jnp.float32) ** 3)[codes]
+                 .astype(jnp.bfloat16).astype(jnp.float32))
+        tf = field.world_to_field @ states
+        h, w = codes.shape
+        unk3 = field.unknown_prob ** 3
+        acc = jnp.zeros(states.x.shape, jnp.float32)
+        for b in range(pts.shape[0]):
+            x = pts[b, 0] * tf.rot.cos - pts[b, 1] * tf.rot.sin + tf.x
+            y = pts[b, 0] * tf.rot.sin + pts[b, 1] * tf.rot.cos + tf.y
+            xi = jnp.floor(x / field.resolution).astype(jnp.int32)
+            yi = jnp.floor(y / field.resolution).astype(jnp.int32)
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            val = vals3[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+            pz3 = jnp.where(inside, val, unk3)
+            acc = acc + jnp.where(mask[b], pz3, 0.0)
+        want = 1.0 + acc
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_converged_close_to_exact(self):
+        """bf16 table error stays below 0.5% of the exact weights."""
+        field, codes, book, v3 = self._setup()
+        states = self._states(130, 2.4, 2.4)
+        pts, mask = self._scan()
+        got = self._run(field, codes, book, states, pts, mask, v3)
+        exact = self._run(field, codes, book, states, pts, mask, None)
+        rel = np.max(np.abs(np.asarray(got) - np.asarray(exact))
+                     / np.asarray(exact))
+        assert rel < 5e-3
+
+    def test_edge_cloud_clipping(self):
+        """Clouds at the map corner clip their windows without touching
+        out-of-range table rows; out-of-map beams read unknown_prob."""
+        field, codes, book, v3 = self._setup()
+        for cx, cy in [(0.2, 0.2), (4.6, 4.6), (0.2, 4.6)]:
+            states = self._states(90, cx, cy, seed=int(cx * 10 + cy))
+            pts, mask = self._scan()
+            got = self._run(field, codes, book, states, pts, mask, v3)
+            exact = self._run(field, codes, book, states, pts, mask, None)
+            rel = np.max(np.abs(np.asarray(got) - np.asarray(exact))
+                         / np.asarray(exact))
+            assert rel < 5e-3, (cx, cy, rel)
+
+    def test_diverged_falls_back_bit_exact(self):
+        """Spread clouds skip the fast branch: identical to the exact path."""
+        field, codes, book, v3 = self._setup()
+        rng = np.random.default_rng(9)
+        from beluga_tpu.lie import SE2
+
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(0.3, 4.5, 140), jnp.float32),
+            jnp.asarray(rng.uniform(0.3, 4.5, 140), jnp.float32),
+            jnp.asarray(rng.uniform(-3.1, 3.1, 140), jnp.float32),
+        )
+        pts, mask = self._scan()
+        got = self._run(field, codes, book, states, pts, mask, v3)
+        exact = self._run(field, codes, book, states, pts, mask, None)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exact))
+
+    def test_builder_mode_codebook16(self):
+        """lookup_mode='codebook16' wires the twin table through the ctx and
+        the filter update stays finite/normalized."""
+        from beluga_tpu.filters.builders import (
+            make_likelihood_field_filter,
+            update_map_ctx,
+        )
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import (
+            LikelihoodFieldParams,
+        )
+
+        data = np.zeros((96, 96), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.05)
+        models, ctx = make_likelihood_field_filter(grid, lookup_mode="codebook16")
+        assert "field_values3" in ctx and ctx["field_values3"].dtype == jnp.bfloat16
+        ctx2 = update_map_ctx(ctx, grid, LikelihoodFieldParams())
+        assert "field_values3" in ctx2
