@@ -102,6 +102,30 @@ def tree_scatter(base: Any, indices: Array, updates: Any) -> Any:
     )
 
 
+def tree_sort_by(key: Array, states: Any) -> Any:
+    """Reorder a state pytree by ascending ``key`` (f32[N]).
+
+    Rides ``lax.sort``'s compare-exchange network — measured ~0.2 ms for 7
+    operands at [64, 4096] on v5e, vs ~17 ms for argsort + per-leaf gathers
+    (the serialized-gather wall, NOTES.md).  Leaves with trailing dims are
+    split into [N] columns so every sort operand has the key's shape.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(states)
+    cols, splits = [], []
+    for leaf in leaves:
+        n = leaf.shape[0]
+        flat = jnp.reshape(leaf, (n, -1))
+        k = flat.shape[1]
+        splits.append((leaf.shape, k))
+        cols.extend(flat[:, j] for j in range(k))
+    out = jax.lax.sort((key, *cols), dimension=0, num_keys=1)[1:]
+    rebuilt, at = [], 0
+    for shape, k in splits:
+        rebuilt.append(jnp.stack(out[at : at + k], axis=-1).reshape(shape))
+        at += k
+    return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
+
 def tree_where(mask: Array, a: Any, b: Any) -> Any:
     """Elementwise select between two state pytrees; mask has shape [N]."""
 

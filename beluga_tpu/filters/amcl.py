@@ -47,6 +47,7 @@ from beluga_tpu.core.particles import (
     ParticleSet,
     make_from_states,
     tree_scatter,
+    tree_sort_by,
     tree_take,
     tree_where,
 )
@@ -84,6 +85,24 @@ class AmclParams:
     # slot (views/random_intersperse.hpp:93-115), so K bounds the generation
     # work the same way — random gathers are the serialized op on TPU.
     recovery_pool: int = 0
+    # Keep particle slots in theta-sorted order: the multinomial resampler
+    # skips its slot interleave so donors stay in input (CDF) order, which
+    # preserves any ordering of the inputs (systematic/stratified positions
+    # are sorted by construction and preserve it already).  Slot order is
+    # statistically irrelevant to the filter, but theta-sorted slots let
+    # the Pallas reweight kernel window each 512-lane sub-block to a narrow
+    # theta band (ops/pallas_reweight.py fast path).  Requires a fixed
+    # particle count (min == max): the KLD prefix over sorted slots would
+    # be a theta-biased subsample.
+    sorted_slots: bool = False
+
+    def __post_init__(self):
+        if self.sorted_slots and self.min_particles < self.max_particles:
+            raise ValueError(
+                "sorted_slots requires a fixed particle count "
+                "(min_particles == max_particles): the KLD prefix over "
+                "theta-sorted slots would be a biased subsample"
+            )
 
 
 class AmclModels(NamedTuple):
@@ -108,6 +127,12 @@ class AmclModels(NamedTuple):
     hash_state: Callable
     estimate: Callable
     motion_delta: Callable | None = None
+    # sort key for ``sorted_slots`` filters: (states) -> f32[N]; None uses
+    # ``se2_sort_key`` (theta + strays-last).  Slot order is statistically
+    # irrelevant; the
+    # theta sort only exists so the Pallas reweight fast path sees narrow
+    # theta bands per lane sub-block (ops/pallas_reweight.py).
+    sort_key: Callable | None = None
 
 
 class AmclState(NamedTuple):
@@ -126,6 +151,31 @@ class Estimate(NamedTuple):
     pose: SE2
     covariance: Array  # f32[3, 3]
     valid: Array  # bool — False when the update was gated out
+
+
+def se2_sort_key(states: SE2) -> Array:
+    """Slot-sort key for ``sorted_slots`` SE2 filters: theta, with outlier
+    particles pushed to the end.
+
+    The reweight fast path (ops/pallas_reweight.py) windows each lane
+    sub-block; a theta sort alone leaves the posterior's diffuse xy tail
+    (~2-3% of survivors under the flat pz^3 likelihood) spread across every
+    theta band, blowing each block's window.  A two-level key — outlier
+    flag first, theta second — pools the strays into the last block(s),
+    which the kernel flags for its exact full-table path, leaving the core
+    blocks as tight (theta, xy) bands.  Outliers = beyond 3.5 sigma of the
+    cloud in x, y, or heading-chord distance.  Slot order is statistically
+    irrelevant to the filter, so the key only affects kernel efficiency.
+    """
+    x, y = states.xy[..., 0], states.xy[..., 1]
+    theta = states.theta
+    c, s = states.rot.cos, states.rot.sin
+    zx = jnp.abs(x - jnp.mean(x)) / (jnp.std(x) + 1e-6)
+    zy = jnp.abs(y - jnp.mean(y)) / (jnp.std(y) + 1e-6)
+    rc = jnp.hypot(c - jnp.mean(c), s - jnp.mean(s))
+    zt = (rc - jnp.mean(rc)) / (jnp.std(rc) + 1e-6)
+    stray = (zx > 3.5) | (zy > 3.5) | (zt > 3.5)
+    return theta + 100.0 * stray.astype(jnp.float32)
 
 
 def default_hash_state(params: AmclParams, states: SE2) -> Array:
@@ -279,7 +329,8 @@ def update(
                     )
 
                     donors = resample_take_tree_multinomial(
-                        k_res, particles.weight, particles.state, m
+                        k_res, particles.weight, particles.state, m,
+                        interleave=not params.sorted_slots,
                     )
                 else:
                     from beluga_tpu.ops.pallas_resample import resample_take_tree
@@ -303,10 +354,26 @@ def update(
             else:
                 randoms = models.random_state(ctx, k_rand, m, particles)
                 candidates = tree_where(inject, randoms, donors)
-            hashes = models.hash_state(params, candidates)
-            active = kld_active_count(
-                hashes, params.min_particles, m, params.kld_epsilon, params.kld_z
-            )
+            if params.sorted_slots:
+                # keep the theta-sorted slot invariant: per-step motion
+                # noise diffuses particle identities across the posterior
+                # (timescale ~(sigma_post/sigma_step)^2 steps), so order
+                # preservation alone decays — re-sort each resample.
+                # lax.sort's compare-exchange network costs ~0.2 ms at
+                # [64, 4096] x 7 operands (NOTES.md).
+                key_fn = models.sort_key or se2_sort_key
+                candidates = tree_sort_by(key_fn(candidates), candidates)
+            if params.min_particles >= params.max_particles:
+                # fixed particle count: take_while_kld's `count <= min`
+                # clause takes exactly max particles — skip the spatial
+                # hash + distinct-bucket scan entirely
+                active = jnp.int32(m)
+            else:
+                hashes = models.hash_state(params, candidates)
+                active = kld_active_count(
+                    hashes, params.min_particles, m, params.kld_epsilon,
+                    params.kld_z,
+                )
             return make_from_states(candidates, active=active), thrun
 
         def skip_resample_branch(args):

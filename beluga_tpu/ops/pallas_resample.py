@@ -265,7 +265,8 @@ def resample_take_tree(
 
 
 def resample_take_tree_multinomial(
-    key: Array, weights: Array, states: Any, num: int, interpret: bool = False
+    key: Array, weights: Array, states: Any, num: int, interpret: bool = False,
+    interleave: bool = True,
 ) -> Any:
     """Exact-multiset multinomial resample for large filters.
 
@@ -275,10 +276,18 @@ def resample_take_tree_multinomial(
     prefixes cover the CDF uniformly.  ~25x the iid-position kernel at
     262k particles; the only deviation from iid draw order is the
     deterministic interleave (documented in NOTES.md).
+
+    ``interleave=False`` keeps the donors in CDF (input-index) order —
+    used by ``sorted_slots`` filters, where input order is a theta sort
+    and the output must preserve it (valid only when the KLD prefix
+    semantics are inactive, i.e. fixed particle counts: a sorted prefix
+    would be a biased subsample).
     """
     from beluga_tpu.ops.resample import interleave_slots, sorted_multinomial_positions
 
     u = sorted_multinomial_positions(key, num)
     packed, treedef, shapes = pack_state(states)
     out = resample_take(weights, u, packed, interpret=interpret)
-    return unpack_state(interleave_slots(out), treedef, shapes)
+    if interleave:
+        out = interleave_slots(out)
+    return unpack_state(out, treedef, shapes)

@@ -27,15 +27,24 @@ truncation split of ops/pallas_resample.py) — measured ~20% faster than
 the VPU select/reduce decode, which remains in use on the full-table tier
 where the big int8 matmul saturates the MXU.
 
-**Per-beam windows (fast path, opt-in via ``values3``).** For ONE beam
-the queries only span (cloud span + |p_b| * theta-dispersion) cells —
-typically ~20 cells for a converged cloud even when the scan itself
-reaches the full sensor range, which is what forces the 128+-cell
-tile-level windows above.  The fast path slices a [64, 128] *value*
-window per beam:
+**Per-(beam, sub-block) windows (fast path, opt-in via ``values3``).**
+For ONE beam the queries only span (cloud span + |p_b| * theta-spread)
+cells.  The nav2 pz^3-sum likelihood is deliberately flat, so converged
+clouds keep a wide theta spread (sigma ~0.3 rad measured on the
+turtlebot3 replay) and |p| * theta-spread alone reaches ~100 cells at
+full sensor range — too wide for one per-beam window.  The fast path
+therefore splits each 4096-lane tile into ``_SUBB``-lane SUB-BLOCKS
+and slices
+a [64, 128] *value* window per (beam, sub-block):
 
-  * per-beam origins and the exact span gate are precomputed in XLA and
-    read from SMEM (no in-kernel reductions);
+  * when the particle slots are ordered by theta (``sorted_slots`` —
+    systematic positions and the sorted-order-statistics multinomial
+    emit donors in index order, so theta-sortedness is invariant under
+    resampling for free), each sub-block covers a narrow theta band and
+    its per-beam windows are small;
+  * origins are precomputed in XLA and read from SMEM: each window is
+    CENTERED on the sub-block's mean query position, which is linear in
+    the block means of (tx, ty, cos, sin) — no [N, beams] intermediate;
   * x origins are 8-sublane-aligned; y origins come from a TWIN TABLE —
     the value table stored twice along y, the second copy shifted by 64
     cells — so a 128-tall window at any 64-granular origin is a
@@ -43,11 +52,14 @@ window per beam:
   * window entries are bf16(pz^3): the rows matmul returns pz^3 with no
     decode at all (<=0.2% relative weight error — the resolution of
     bf16, far below the sensor-model noise; the exact path remains the
-    default).  Tiles whose per-beam spans exceed the window fall back to
-    the exact tier path above, so global localization stays bit-exact.
-
-Measured on v5e at B=64 x N=4096 x 60 beams (converged cloud,
-full-range scan): exact tiers 6.5-6.9 ms -> fast path ~1.9 ms.
+    default);
+  * in-map queries that still fall outside their window (stray
+    particles) CLAMP to the field floor ``min(book)^3`` — the true value
+    of almost every far-from-obstacle stray.  The gate is exact: the
+    fast path engages only when the measured clamp fraction is at most
+    ``_CLAMP_FRAC`` of the valid queries; otherwise the tile falls back
+    to the exact tier path above, so global localization stays
+    bit-exact.
 
 Out-of-map queries may clip outside the window: their looked-up value is
 garbage but is always replaced by ``unknown_prob`` through the inside
@@ -83,10 +95,22 @@ _TILE = 4096  # particles per program (lane axis)
 # tile (y windows are 128-lane-aligned, so spans over ~129 cells need the
 # full-height tiers)
 _TIERS = ((256, 384), (256, 256), (128, 384), (128, 256))
-# per-beam window (x sublanes, y lanes) of the fast path
-_BWW, _BWH = 64, 128
-_YGRAN = 64  # y-origin granularity of the twin table
-_XSLACK = 8  # x alignment waste + floor slack
+# per-(beam, sub-block) window (x sublanes, y lanes) of the fast path
+_BWW, _BWH = 128, 128
+_YGRAN = 32  # y-origin granularity of the shifted-copies table
+# Static heterogeneous sub-block layout of a 4096-lane tile: one big core
+# block plus two fine 256-lane tail blocks.  Per-(beam, block) iteration
+# overhead (~0.18 us measured) dominates the tiny matmuls, so FEWER
+# blocks win: sweeping layouts on the tracking workload gave 7-block
+# 10.4 ms -> 5-block 9.3 -> [3584,256,256] 8.1 ms (per 64x4096x60
+# standalone reweight, floor included); a single 4096 block loses stray
+# isolation (0.9 relerr).  The strays-last sort key (filters/amcl.py
+# se2_sort_key) pools outliers into the final block, which the flags
+# send down the exact full-table path at only 256 lanes.
+_BLOCKS = ((0, 3584), (3584, 256), (3840, 256))
+_GATE_SS = 8  # lane-subsample stride of the clamp-fraction gate
+_CLAMP_FRAC = 0.005  # max fraction of valid queries allowed to clamp
+_BLOCK_CLAMP = 0.002  # per-block clamp fraction that flags it full-table
 
 
 def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
@@ -97,8 +121,8 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
 
     def kernel(*refs):
         if fast:
-            (scalars_ref, points_ref, orig_ref, tx_ref, ty_ref, cos_ref,
-             sin_ref, codes_t_ref, book_ref, planes_ref, vals_t_ref,
+            (scalars_ref, points_ref, orig_ref, flags_ref, tx_ref, ty_ref,
+             cos_ref, sin_ref, codes_t_ref, book_ref, planes_ref, vals_t_ref,
              out_ref) = refs
         else:
             (scalars_ref, points_ref, tx_ref, ty_ref, cos_ref, sin_ref,
@@ -134,33 +158,94 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
             inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             return bm, xi, yi, inside
 
-        def run_beamwin():
-            """Per-beam [64, 128] bf16(pz^3) windows; origins from SMEM."""
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (_BWW, t), 0)
-            iota_h = jax.lax.broadcasted_iota(jnp.int32, (_BWH, t), 0)
+        def endpoints_block(b, start, size):
+            px = points_ref[0, b]
+            py = points_ref[1, b]
+            bm = points_ref[2, b]
+            sl = slice(start, start + size)
+            x = px * cos[:, sl] - py * sin[:, sl] + tx[:, sl]  # [1, size]
+            y = px * sin[:, sl] + py * cos[:, sl] + ty[:, sl]
+            xi = jnp.floor(x / res).astype(jnp.int32)
+            yi = jnp.floor(y / res).astype(jnp.int32)
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            return bm, xi, yi, inside
+
+        def run_beamwin(idx, start, size, n_blocks):
+            """Block ``idx``: per-beam bf16(pz^3) windows; origins from
+            SMEM; out-of-window in-map queries clamp to the floor."""
+            eff_w = min(_BWW, wp)
+            eff_h = min(_BWH, hp)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (eff_w, size), 0)
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (eff_h, size), 0)
             unk3 = unknown * unknown * unknown
+            floor3 = scalars_ref[0, 4]
 
             def beam(b, acc):
-                bm, xi, yi, inside = endpoints(b)
-                x0 = pl.multiple_of(orig_ref[0, b], 8)
-                o = orig_ref[1, b]
-                off = pl.multiple_of(orig_ref[2, b], 128)
-                vals_win = vals_t_ref[pl.ds(x0, _BWW), pl.ds(off, _BWH)]
+                bm, xi, yi, inside = endpoints_block(b, start, size)
+                x0 = pl.multiple_of(orig_ref[0, b * n_blocks + idx], 8)
+                o = orig_ref[1, b * n_blocks + idx]
+                off = pl.multiple_of(orig_ref[2, b * n_blocks + idx], 128)
+                vals_win = vals_t_ref[pl.ds(x0, eff_w), pl.ds(off, eff_h)]
                 oh = ((yi - o) == iota_h).astype(jnp.bfloat16)
                 rows = jax.lax.dot(
                     vals_win, oh, preferred_element_type=jnp.float32
-                )  # [_BWW, T] = pz^3
+                )  # [eff_w, size] = pz^3
                 val = jnp.sum(
                     jnp.where((xi - x0) == iota_w, rows, 0.0),
                     axis=0, keepdims=True,
                 )
-                pz3 = jnp.where(inside, val, unk3)
+                covered = ((xi >= x0) & (xi < x0 + eff_w)
+                           & (yi >= o) & (yi < o + eff_h))
+                pz3 = jnp.where(inside, jnp.where(covered, val, floor3), unk3)
                 return acc + bm * pz3
 
             acc = jax.lax.fori_loop(
-                0, num_beams, beam, jnp.zeros((1, t), jnp.float32)
+                0, num_beams, beam, jnp.zeros((1, size), jnp.float32)
             )
-            out_ref[:] = 1.0 + acc
+            out_ref[0, pl.ds(start, size)] = (1.0 + acc)[0]
+
+        def run_fulltable_block(start, size):
+            """Block against the full code table (exact int8 path + MXU
+            decode) — the stray blocks of a sorted cloud, whose spread no
+            window covers."""
+            iota_wf = jax.lax.broadcasted_iota(jnp.int32, (wp, size), 0)
+            iota_hf = jax.lax.broadcasted_iota(jnp.int32, (hp, size), 0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_book, size), 0)
+
+            def beam(b, acc):
+                bm, xi, yi, inside = endpoints_block(b, start, size)
+                ohw = jnp.clip(yi, 0, h - 1)
+                ohx = jnp.clip(xi, 0, w - 1)
+                if int8_path:
+                    oh = (ohw == iota_hf).astype(jnp.int8)
+                    rows = jax.lax.dot(
+                        codes_t_ref[:], oh, preferred_element_type=jnp.int32
+                    )
+                    code = jnp.sum(
+                        jnp.where(ohx == iota_wf, rows, 0),
+                        axis=0, keepdims=True,
+                    ) + 128
+                else:
+                    oh = (ohw == iota_hf).astype(jnp.float32)
+                    rows = jnp.dot(
+                        codes_t_ref[:], oh, preferred_element_type=jnp.float32
+                    )
+                    code = jnp.sum(
+                        jnp.where(ohx == iota_wf, rows, 0.0),
+                        axis=0, keepdims=True,
+                    ).astype(jnp.int32)
+                ohc = (code == iota_c).astype(jnp.bfloat16)
+                pl3 = jax.lax.dot(
+                    planes_ref[:], ohc, preferred_element_type=jnp.float32
+                )
+                val = pl3[0:1, :] + pl3[1:2, :] + pl3[2:3, :]
+                pz = jnp.where(inside, val, unknown)
+                return acc + bm * (pz * pz * pz)
+
+            acc = jax.lax.fori_loop(
+                0, num_beams, beam, jnp.zeros((1, size), jnp.float32)
+            )
+            out_ref[0, pl.ds(start, size)] = (1.0 + acc)[0]
 
         def run(ww, wh, x0, y0):
             """Accumulate weights against the (x0, y0)+(ww, wh) window."""
@@ -220,10 +305,17 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
 
         taken = fits_bw
         if fast:
+            n_blocks = len(_BLOCKS)
+            for idx, (start, size) in enumerate(_BLOCKS):
+                flagged = flags_ref[0, idx] > 0
 
-            @pl.when(fits_bw)
-            def _():
-                run_beamwin()
+                @pl.when(fits_bw & ~flagged)
+                def _(idx=idx, start=start, size=size):
+                    run_beamwin(idx, start, size, n_blocks)
+
+                @pl.when(fits_bw & flagged)
+                def _(start=start, size=size):
+                    run_fulltable_block(start, size)
 
         # tier selection: smallest window whose aligned origin still covers
         # the in-map part of [lo, hi]
@@ -258,20 +350,28 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
     return kernel
 
 
-def build_values3(codes: Array, codebook: Array) -> Array:
-    """bf16 twin pz^3 table for the per-beam-window fast path.
+_YCOPIES = 128 // _YGRAN
 
-    ``[wq, 2*hq]``: transposed (x sublanes, y lanes) value table padded to
-    (8, 128) alignment, stored twice along y with the second copy shifted
-    by ``_YGRAN`` cells.  Build once per map (builders cache it in ctx).
+
+def build_values3(codes: Array, codebook: Array) -> Array:
+    """bf16 shifted-copies pz^3 table for the per-beam-window fast path.
+
+    ``[wq, _YCOPIES*hq]``: transposed (x sublanes, y lanes) value table
+    padded to (8, 128) alignment, stored ``_YCOPIES`` times along y with
+    copy j shifted by ``j*_YGRAN`` cells — a 128-tall window at any
+    ``_YGRAN``-granular origin is a 128-lane-aligned slice of one copy.
+    Build once per map (builders cache it in ctx).
     """
     h, w = codes.shape
     wq = -(-w // 8) * 8
     hq = -(-h // 128) * 128
     vals3 = (codebook.astype(jnp.float32) ** 3)[codes]  # [H, W]
     vals_t = jnp.pad(vals3.T.astype(jnp.bfloat16), ((0, wq - w), (0, hq - h)))
-    shifted = jnp.pad(vals_t[:, _YGRAN:], ((0, 0), (0, _YGRAN)))
-    return jnp.concatenate([vals_t, shifted], axis=1)
+    copies = [vals_t] + [
+        jnp.pad(vals_t[:, j * _YGRAN:], ((0, 0), (0, j * _YGRAN)))
+        for j in range(1, _YCOPIES)
+    ]
+    return jnp.concatenate(copies, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -323,35 +423,104 @@ def fused_reweight(
     res_f = jnp.asarray(resolution, jnp.float32)
 
     if fast:
-        # exact per-beam query cell ranges (XLA fuses the [N, B] reduce)
-        qx = (points[None, :, 0] * cos[:, None]
-              - points[None, :, 1] * sin[:, None] + tx[:, None])
-        qy = (points[None, :, 0] * sin[:, None]
-              + points[None, :, 1] * cos[:, None] + ty[:, None])
-        xi_min = jnp.floor(jnp.min(qx, axis=0) / res_f).astype(jnp.int32)
-        xi_max = jnp.floor(jnp.max(qx, axis=0) / res_f).astype(jnp.int32)
-        yi_min = jnp.floor(jnp.min(qy, axis=0) / res_f).astype(jnp.int32)
-        yi_max = jnp.floor(jnp.max(qy, axis=0) / res_f).astype(jnp.int32)
-        span_ok = ((xi_max - xi_min) <= (_BWW - _XSLACK)) & (
-            (yi_max - yi_min) <= _YGRAN
+        n_blocks = len(_BLOCKS)
+        n_tiles = n_pad // _TILE
+        txp, typ, cosp, sinp = (pad(v)[0] for v in (tx, ty, cos, sin))
+
+        # windows centered on the per-(sub-block, beam) query MEAN, which is
+        # linear in the per-block means of (tx, ty, cos, sin) — no [N, B]
+        # materialization needed for the origins
+        def bmean(v):
+            vt = v.reshape(n_tiles, _TILE)
+            return jnp.stack(
+                [jnp.mean(vt[:, s : s + z], axis=1) for s, z in _BLOCKS],
+                axis=1,
+            ).reshape(-1)  # [n_tiles * n_blocks]
+
+        mtx, mty, mc, ms = bmean(txp), bmean(typ), bmean(cosp), bmean(sinp)
+        mu_x = (points[None, :, 0] * mc[:, None]
+                - points[None, :, 1] * ms[:, None] + mtx[:, None])  # [TB, B]
+        mu_y = (points[None, :, 0] * ms[:, None]
+                + points[None, :, 1] * mc[:, None] + mty[:, None])
+        ctr_x = jnp.floor(mu_x / res_f).astype(jnp.int32)
+        ctr_y = jnp.floor(mu_y / res_f).astype(jnp.int32)
+        eff_w = min(_BWW, wq)
+        eff_h = min(_BWH, hq)
+        # round (not floor) the aligned origin so the coverage stays
+        # centered: floor leaves as little as 1 cell above the mean when
+        # the center sits just past a granule boundary
+        x0 = jnp.clip(((ctr_x - eff_w // 2 + 4) // 8) * 8, 0, wq - eff_w)
+        o = jnp.clip(
+            ((ctr_y - eff_h // 2 + _YGRAN // 2) // _YGRAN) * _YGRAN,
+            0, hq - _YGRAN,
         )
-        fits_bw = jnp.all(jnp.where(beam_mask, span_ok, True))
-        x0 = jnp.clip((xi_min // 8) * 8, 0, wq - _BWW)
-        o = jnp.clip((yi_min // _YGRAN) * _YGRAN, 0, hq - _YGRAN)
-        off = jnp.where(o % (2 * _YGRAN) == 0, o, hq + o - _YGRAN)
-        origins = jnp.stack([x0, o, off], axis=0)  # i32 [3, B]
+        jm = (o % 128) // _YGRAN  # which shifted copy holds the slice
+        off = jm * hq + (o - jm * _YGRAN)
+
+        # gate: exact clamp fraction on a lane subsample (stride _GATE_SS
+        # visits every sub-block uniformly); padded lanes excluded
+        ss = _GATE_SS
+        txs, tys, css, sns = (v[::ss] for v in (txp, typ, cosp, sinp))
+        qx = (points[None, :, 0] * css[:, None]
+              - points[None, :, 1] * sns[:, None] + txs[:, None])
+        qy = (points[None, :, 0] * sns[:, None]
+              + points[None, :, 1] * css[:, None] + tys[:, None])
+        xi = jnp.floor(qx / res_f).astype(jnp.int32)  # [n_pad/ss, B]
+        yi = jnp.floor(qy / res_f).astype(jnp.int32)
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        real = (jnp.arange(0, n_pad, ss) < n)[:, None]
+        validq = inside & real & beam_mask[None, :]
+
+        def bsubs(a):  # [n_pad/ss, B] -> [n_tiles * n_blocks, size/ss, B]
+            at = a.reshape(n_tiles, _TILE // ss, nb)
+            return [at[:, s // ss : (s + z) // ss, :] for s, z in _BLOCKS]
+
+        x0b = x0.reshape(n_tiles, n_blocks, 1, nb)
+        ob = o.reshape(n_tiles, n_blocks, 1, nb)
+        clamped_b, valid_b = [], []
+        for bi, (xs_, ys_, vs_) in enumerate(
+            zip(bsubs(xi), bsubs(yi), bsubs(validq))
+        ):
+            cov = ((xs_ >= x0b[:, bi]) & (xs_ < x0b[:, bi] + eff_w)
+                   & (ys_ >= ob[:, bi]) & (ys_ < ob[:, bi] + eff_h))
+            clamped_b.append(jnp.sum((vs_ & ~cov).astype(jnp.int32), axis=(1, 2)))
+            valid_b.append(jnp.sum(vs_.astype(jnp.int32), axis=(1, 2)))
+        clamped_b = jnp.stack(clamped_b, axis=1).reshape(-1)  # [TB]
+        valid_b = jnp.stack(valid_b, axis=1).reshape(-1)
+        total = jnp.maximum(jnp.sum(valid_b), 1)
+        # stray blocks (posterior tails pooled last by the sort key) run
+        # the exact full-table path instead of clamping
+        flags = (clamped_b.astype(jnp.float32)
+                 > valid_b.astype(jnp.float32) * _BLOCK_CLAMP).astype(jnp.int32)
+        resid = jnp.sum(jnp.where(flags == 1, 0, clamped_b))
+        sizes = jnp.tile(jnp.asarray([z for _, z in _BLOCKS], jnp.int32), n_tiles)
+        flagged_lanes = jnp.sum(sizes * flags)
+        fits_bw = (
+            (resid.astype(jnp.float32)
+             <= jnp.maximum(total.astype(jnp.float32) * _CLAMP_FRAC, 1.0))
+            & (flagged_lanes <= (n_pad * 3) // 8)
+        )
+
+        def lay(a):  # [n_tiles*n_blocks, nb] -> flat, index b*n_blocks + k
+            return (a.reshape(n_tiles, n_blocks, nb)
+                    .transpose(0, 2, 1).reshape(-1))
+
+        origins = jnp.stack([lay(x0), lay(o), lay(off)], axis=0)
+        flags = flags.reshape(n_tiles, n_blocks)
         gate = fits_bw.astype(jnp.float32)
     else:
         gate = jnp.float32(0.0)
 
+    floor3 = jnp.min(codebook.astype(jnp.float32)) ** 3
     scalars = jnp.stack(
         [
             res_f,
             jnp.asarray(unknown_prob, jnp.float32),
             radius.astype(jnp.float32),
             gate,
+            floor3,
         ]
-    )[None, :]  # [1, 4]
+    )[None, :]  # [1, 5]
 
     if interpret:
         codes_t = codes.T.astype(jnp.float32)
@@ -371,13 +540,20 @@ def fused_reweight(
 
     tile_spec = lambda: pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((3, nb), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     inputs = [scalars, pts]
     if fast:
-        in_specs.append(pl.BlockSpec((3, nb), lambda i: (0, 0), memory_space=pltpu.SMEM))
-        inputs.append(origins)
+        nbk = len(_BLOCKS)
+        in_specs.append(
+            pl.BlockSpec((3, nb * nbk), lambda i: (0, i), memory_space=pltpu.SMEM)
+        )
+        inputs.append(origins.reshape(3, -1))
+        in_specs.append(
+            pl.BlockSpec((1, nbk), lambda i: (i, 0), memory_space=pltpu.SMEM)
+        )
+        inputs.append(flags)
     in_specs += [tile_spec(), tile_spec(), tile_spec(), tile_spec()]
     inputs += [pad(tx), pad(ty), pad(cos), pad(sin)]
     in_specs += [
@@ -388,7 +564,9 @@ def fused_reweight(
     inputs += [codes_t, codebook[:, None].astype(jnp.float32), planes]
     if fast:
         in_specs.append(
-            pl.BlockSpec((wq, 2 * hq), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (wq, _YCOPIES * hq), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
         )
         inputs.append(values3)
 

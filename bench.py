@@ -162,7 +162,13 @@ def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384,
         )
         mask_steps.append(jnp.asarray(np.broadcast_to(hit, (batch, num_beams))))
 
-    params = AmclParams(max_particles=num_particles, min_particles=num_particles)
+    # theta-sorted slots let the codebook16 fast path window each sub-block
+    # to a narrow theta band; sortedness is resample-invariant (amcl.py)
+    sorted_slots = lookup_mode == "codebook16"
+    params = AmclParams(
+        max_particles=num_particles, min_particles=num_particles,
+        sorted_slots=sorted_slots,
+    )
     models, ctx = make_likelihood_field_filter(grid, lookup_mode=lookup_mode)
 
     @jax.jit
@@ -174,6 +180,10 @@ def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384,
                 SE2.from_xytheta(float(gx[0]), float(gy[0]), float(gyaw[0])),
                 jnp.diag(jnp.asarray([0.25, 0.25, 0.068], jnp.float32)),
             )
+            if sorted_slots:
+                from beluga_tpu.core.particles import tree_take
+
+                states = tree_take(states, jnp.argsort(states.theta))
             return init_state(k2, states, params)
 
         return jax.vmap(one)(keys)

@@ -428,8 +428,9 @@ class TestBeamWindowFastPath:
                          / np.asarray(exact))
             assert rel < 5e-3, (cx, cy, rel)
 
-    def test_diverged_falls_back_bit_exact(self):
-        """Spread clouds skip the fast branch: identical to the exact path."""
+    def test_diverged_small_map_covered_bf16(self):
+        """On a small map the block windows cover everything, so even a
+        diverged cloud stays on the (bf16-accurate, clamp-free) fast path."""
         field, codes, book, v3 = self._setup()
         rng = np.random.default_rng(9)
         from beluga_tpu.lie import SE2
@@ -438,6 +439,37 @@ class TestBeamWindowFastPath:
             jnp.asarray(rng.uniform(0.3, 4.5, 140), jnp.float32),
             jnp.asarray(rng.uniform(0.3, 4.5, 140), jnp.float32),
             jnp.asarray(rng.uniform(-3.1, 3.1, 140), jnp.float32),
+        )
+        pts, mask = self._scan()
+        got = np.asarray(self._run(field, codes, book, states, pts, mask, v3))
+        exact = np.asarray(self._run(field, codes, book, states, pts, mask, None))
+        assert np.max(np.abs(got - exact) / exact) < 5e-3
+
+    def test_diverged_large_map_falls_back_bit_exact(self):
+        """On a large map a diverged cloud overflows every block window:
+        most blocks get flagged and the tile takes the exact tier path."""
+        from beluga_tpu.filters.builders import _make_field_codes
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import (
+            LikelihoodFieldParams,
+            make_likelihood_field,
+        )
+        from beluga_tpu.ops.pallas_reweight import build_values3
+
+        data = np.zeros((384, 384), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[100:120, 200:230] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.05)
+        params = LikelihoodFieldParams()
+        field = make_likelihood_field(params, grid)
+        codes, book = _make_field_codes(field, params, grid)
+        v3 = build_values3(codes, book)
+        rng = np.random.default_rng(9)
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(1.0, 18.0, 200), jnp.float32),
+            jnp.asarray(rng.uniform(1.0, 18.0, 200), jnp.float32),
+            jnp.asarray(rng.uniform(-3.1, 3.1, 200), jnp.float32),
         )
         pts, mask = self._scan()
         got = self._run(field, codes, book, states, pts, mask, v3)
@@ -463,3 +495,57 @@ class TestBeamWindowFastPath:
         assert "field_values3" in ctx and ctx["field_values3"].dtype == jnp.bfloat16
         ctx2 = update_map_ctx(ctx, grid, LikelihoodFieldParams())
         assert "field_values3" in ctx2
+
+    def test_stray_and_flagged_block_semantics(self):
+        """Block-structured fast-path semantics on a sorted 4096 cloud:
+        a stray block (pooled last, like the strays-last sort key builds)
+        is flagged and matches the exact kernel bit-for-bit; an individual
+        stray in an unflagged core block clamps to the floor (only losing
+        weight); core particles stay bf16-accurate."""
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.ops.pallas_reweight import _BLOCKS
+
+        from beluga_tpu.filters.builders import _make_field_codes
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+        from beluga_tpu.models.sensor.likelihood_field import (
+            LikelihoodFieldParams,
+            make_likelihood_field,
+        )
+        from beluga_tpu.ops.pallas_reweight import build_values3
+
+        data = np.zeros((384, 384), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[100:120, 200:230] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.05)
+        params = LikelihoodFieldParams()
+        field = make_likelihood_field(params, grid)
+        codes, book = _make_field_codes(field, params, grid)
+        v3 = build_values3(codes, book)
+        rng = np.random.default_rng(21)
+        n = 4096
+        last_start, last_size = _BLOCKS[-1]
+        xs = rng.normal(9.6, 0.05, n)
+        ys = rng.normal(9.6, 0.05, n)
+        th = np.sort(rng.normal(0.4, 0.02, n))
+        xs[last_start:] = rng.uniform(1.0, 18.0, last_size)
+        ys[last_start:] = rng.uniform(1.0, 18.0, last_size)
+        th[last_start:] = rng.uniform(-3.1, 3.1, last_size)
+        # one lone stray inside core block 1, at a lane the gate subsample
+        # (stride 8) does NOT visit, so the block stays unflagged and the
+        # stray clamps
+        lone = 1501
+        xs[lone], ys[lone] = 3.0, 16.0
+        states = SE2.from_xytheta(
+            jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+            jnp.asarray(th, jnp.float32),
+        )
+        pts, mask = self._scan()
+        got = np.asarray(self._run(field, codes, book, states, pts, mask, v3))
+        exact = np.asarray(self._run(field, codes, book, states, pts, mask, None))
+        np.testing.assert_array_equal(got[last_start:], exact[last_start:])
+        assert got[lone] <= exact[lone] + 1e-5
+        core = np.ones(n, bool)
+        core[last_start:] = False
+        core[lone] = False
+        rel = np.max(np.abs(got[core] - exact[core]) / exact[core])
+        assert rel < 5e-3, rel
