@@ -41,7 +41,7 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "570"))
 _T0 = time.monotonic()
 
 BATCH, NPART, BEAMS = 64, 4096, 60
-LOOKUP_MODE = os.environ.get("BENCH_LOOKUP", "auto")
+LOOKUP_MODE = os.environ.get("BENCH_LOOKUP", "codebook16")
 
 
 def log(*a):
@@ -462,6 +462,8 @@ def main():
                 "unit": "1/s",
                 "vs_baseline": value / 1e9,
                 "mode": mode,
+                "lookup": LOOKUP_MODE,
+                "workload": "tracking",
             }
         )
     )
