@@ -182,9 +182,9 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
 
             def beam(b, acc):
                 bm, xi, yi, inside = endpoints_block(b, start, size)
-                x0 = pl.multiple_of(orig_ref[0, b * n_blocks + idx], 8)
-                o = orig_ref[1, b * n_blocks + idx]
-                off = pl.multiple_of(orig_ref[2, b * n_blocks + idx], 128)
+                x0 = pl.multiple_of(orig_ref[0, 0, b * n_blocks + idx], 8)
+                o = orig_ref[0, 1, b * n_blocks + idx]
+                off = pl.multiple_of(orig_ref[0, 2, b * n_blocks + idx], 128)
                 vals_win = vals_t_ref[pl.ds(x0, eff_w), pl.ds(off, eff_h)]
                 oh = ((yi - o) == iota_h).astype(jnp.bfloat16)
                 rows = jax.lax.dot(
@@ -307,7 +307,7 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
         if fast:
             n_blocks = len(_BLOCKS)
             for idx, (start, size) in enumerate(_BLOCKS):
-                flagged = flags_ref[0, idx] > 0
+                flagged = flags_ref[0, 0, idx] > 0
 
                 @pl.when(fits_bw & ~flagged)
                 def _(idx=idx, start=start, size=size):
@@ -501,12 +501,20 @@ def fused_reweight(
             & (flagged_lanes <= (n_pad * 3) // 8)
         )
 
-        def lay(a):  # [n_tiles*n_blocks, nb] -> flat, index b*n_blocks + k
+        def lay(a):  # [n_tiles*n_blocks, nb] -> [n_tiles, nb*n_blocks]
             return (a.reshape(n_tiles, n_blocks, nb)
-                    .transpose(0, 2, 1).reshape(-1))
+                    .transpose(0, 2, 1).reshape(n_tiles, -1))
 
-        origins = jnp.stack([lay(x0), lay(o), lay(off)], axis=0)
-        flags = flags.reshape(n_tiles, n_blocks)
+        # per-tile SMEM groups padded to 128 lanes (Pallas block-shape rule)
+        gp = -(-(nb * n_blocks) // 128) * 128
+        origins = jnp.pad(
+            jnp.stack([lay(x0), lay(o), lay(off)], axis=1),
+            ((0, 0), (0, 0), (0, gp - nb * n_blocks)),
+        )  # [n_tiles, 3, gp]
+        flags = jnp.pad(
+            flags.reshape(n_tiles, 1, n_blocks),
+            ((0, 0), (0, 0), (0, 8 - n_blocks)),
+        )  # [n_tiles, 1, 8]
         gate = fits_bw.astype(jnp.float32)
     else:
         gate = jnp.float32(0.0)
@@ -545,13 +553,13 @@ def fused_reweight(
     ]
     inputs = [scalars, pts]
     if fast:
-        nbk = len(_BLOCKS)
+        gp = origins.shape[-1]
         in_specs.append(
-            pl.BlockSpec((3, nb * nbk), lambda i: (0, i), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 3, gp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
         )
-        inputs.append(origins.reshape(3, -1))
+        inputs.append(origins)
         in_specs.append(
-            pl.BlockSpec((1, nbk), lambda i: (i, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
         )
         inputs.append(flags)
     in_specs += [tile_spec(), tile_spec(), tile_spec(), tile_spec()]

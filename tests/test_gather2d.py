@@ -549,3 +549,23 @@ class TestBeamWindowFastPath:
         core[lone] = False
         rel = np.max(np.abs(got[core] - exact[core]) / exact[core])
         assert rel < 5e-3, rel
+
+    def test_multi_tile_filter(self):
+        """Filters wider than one 4096-lane tile slice per-tile SMEM origin
+        groups (the mega-filter layout bug: per-tile blocks must pad to
+        128 lanes)."""
+        from beluga_tpu.lie import SE2
+
+        field, codes, book, v3 = self._setup()
+        rng = np.random.default_rng(31)
+        n = 8192  # two tiles
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.normal(2.4, 0.05, n), jnp.float32),
+            jnp.asarray(rng.normal(2.4, 0.05, n), jnp.float32),
+            jnp.asarray(np.sort(rng.normal(0.4, 0.05, n)), jnp.float32),
+        )
+        pts, mask = self._scan(b=9)
+        got = np.asarray(self._run(field, codes, book, states, pts, mask, v3))
+        exact = np.asarray(self._run(field, codes, book, states, pts, mask, None))
+        rel = np.max(np.abs(got - exact) / exact)
+        assert rel < 5e-3, rel
