@@ -97,7 +97,9 @@ def make_likelihood_field_filter(
     if prob_model:
         def log_weight(ctx, states, points, beam_mask):
             return likelihood_field_prob_weights(
-                ctx["field"], states, points, beam_mask, lookup_mode="auto"
+                ctx["field"], states, points, beam_mask, lookup_mode="auto",
+                codes_book=ctx.get("field_codes"),
+                values3=ctx.get("field_values3"),
             )
     elif lookup_mode in ("codebook", "codebook16"):
         from beluga_tpu.models.sensor.likelihood_field import (
@@ -144,7 +146,16 @@ def make_likelihood_field_filter(
     )
     field = make_likelihood_field(lf_params, grid)
     ctx = {"grid": grid, "field": field}
-    if lookup_mode == "lowrank":
+    if prob_model and lookup_mode in ("auto", "codebook", "codebook16"):
+        ctx["field_codes"] = _make_field_codes(field, lf_params, grid)
+        if lookup_mode == "codebook16":
+            from beluga_tpu.ops.pallas_reweight import build_values3
+
+            ctx["field_values3"] = build_values3(
+                *ctx["field_codes"], log_space=True
+            )
+            ctx["field_values3_log"] = True
+    elif lookup_mode == "lowrank":
         from beluga_tpu.ops.gather2d import factorize_table
 
         ctx["field_factors"] = factorize_table(field.values, lowrank_rank)
@@ -180,7 +191,10 @@ def update_map_ctx(ctx: dict, grid: OccupancyGrid, lf_params: LikelihoodFieldPar
         if "field_values3" in ctx:
             from beluga_tpu.ops.pallas_reweight import build_values3
 
-            new_ctx["field_values3"] = build_values3(*new_ctx["field_codes"])
+            new_ctx["field_values3"] = build_values3(
+                *new_ctx["field_codes"],
+                log_space=ctx.get("field_values3_log", False),
+            )
     if "field_factors" in ctx:
         from beluga_tpu.ops.gather2d import factorize_table
 

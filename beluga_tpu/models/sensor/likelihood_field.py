@@ -239,10 +239,26 @@ def likelihood_field_weights_codebook(
 
 def likelihood_field_prob_weights(
     field: LikelihoodField, states: SE2, points: Array, beam_mask: Array,
-    lookup_mode: str = "auto",
+    lookup_mode: str = "auto", codes_book=None, values3=None,
 ) -> Array:
     """Proper-probability weights ``exp(Σ log pz)``
     (likelihood_field_prob_model.hpp:68-90).  Returned in *log* space to
-    avoid overflow; callers add it to log-weights directly."""
+    avoid overflow; callers add it to log-weights directly.
+
+    With ``codes_book`` on TPU the fused Pallas kernel runs in log-space
+    (ops/pallas_reweight.py ``log_space=True``); ``values3`` (a log-pz
+    table from ``build_values3(..., log_space=True)``) additionally
+    enables the per-beam-window fast path.
+    """
+    if codes_book is not None and jax.default_backend() == "tpu":
+        from beluga_tpu.ops.pallas_reweight import fused_reweight
+
+        codes, book = codes_book
+        tf = field.world_to_field @ states
+        return fused_reweight(
+            codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin,
+            points, beam_mask, field.resolution, field.unknown_prob,
+            values3=values3, log_space=True,
+        )
     pz, m = _field_lookup(field, states, points, beam_mask, lookup_mode)
     return jnp.sum(jnp.where(m, jnp.log(pz), 0.0), axis=-1)

@@ -102,19 +102,22 @@ _YGRAN = 32  # y-origin granularity of the shifted-copies table
 # block plus two fine 256-lane tail blocks.  Per-(beam, block) iteration
 # overhead (~0.18 us measured) dominates the tiny matmuls, so FEWER
 # blocks win: sweeping layouts on the tracking workload gave 7-block
-# 10.4 ms -> 5-block 9.3 -> [3584,256,256] 8.1 ms (per 64x4096x60
-# standalone reweight, floor included); a single 4096 block loses stray
-# isolation (0.9 relerr).  The strays-last sort key (filters/amcl.py
-# se2_sort_key) pools outliers into the final block, which the flags
-# send down the exact full-table path at only 256 lanes.
-_BLOCKS = ((0, 3584), (3584, 256), (3840, 256))
+# 10.4 ms -> 5-block 9.3 -> [3584,256,256] 8.1 -> [3840,256] 7.6 ms (per
+# 64x4096x60 standalone reweight, floor included); a single 4096 block
+# loses stray isolation (0.9 relerr).  The strays-last sort key
+# (filters/amcl.py se2_sort_key) pools outliers into the final block,
+# which the flags send down the exact full-table path at only 256 lanes;
+# stray populations beyond the tail block degrade gracefully (clamp
+# gate -> exact tiers).  A 64-wide x window underflows the xy posterior
+# spread (gate falls back; measured 17.4 ms) — keep 128.
+_BLOCKS = ((0, 3840), (3840, 256))
 _GATE_SS = 8  # lane-subsample stride of the clamp-fraction gate
 _CLAMP_FRAC = 0.005  # max fraction of valid queries allowed to clamp
 _BLOCK_CLAMP = 0.002  # per-block clamp fraction that flags it full-table
 
 
 def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
-                 fast: bool):
+                 fast: bool, log_space: bool = False):
     """``h, w`` are the REAL map dims (the inside test); the code table may
     be padded to (8, 128)-aligned ``wp, hp`` — in-map queries never touch
     the padding and out-of-map values are replaced by ``unknown``."""
@@ -177,7 +180,8 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
             eff_h = min(_BWH, hp)
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (eff_w, size), 0)
             iota_h = jax.lax.broadcasted_iota(jnp.int32, (eff_h, size), 0)
-            unk3 = unknown * unknown * unknown
+            unk3 = (jnp.log(unknown) if log_space
+                    else unknown * unknown * unknown)
             floor3 = scalars_ref[0, 4]
 
             def beam(b, acc):
@@ -202,7 +206,8 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
             acc = jax.lax.fori_loop(
                 0, num_beams, beam, jnp.zeros((1, size), jnp.float32)
             )
-            out_ref[0, pl.ds(start, size)] = (1.0 + acc)[0]
+            base = 0.0 if log_space else 1.0
+            out_ref[0, pl.ds(start, size)] = (base + acc)[0]
 
         def run_fulltable_block(start, size):
             """Block against the full code table (exact int8 path + MXU
@@ -240,12 +245,14 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
                 )
                 val = pl3[0:1, :] + pl3[1:2, :] + pl3[2:3, :]
                 pz = jnp.where(inside, val, unknown)
-                return acc + bm * (pz * pz * pz)
+                contrib = jnp.log(pz) if log_space else pz * pz * pz
+                return acc + bm * contrib
 
             acc = jax.lax.fori_loop(
                 0, num_beams, beam, jnp.zeros((1, size), jnp.float32)
             )
-            out_ref[0, pl.ds(start, size)] = (1.0 + acc)[0]
+            base = 0.0 if log_space else 1.0
+            out_ref[0, pl.ds(start, size)] = (base + acc)[0]
 
         def run(ww, wh, x0, y0):
             """Accumulate weights against the (x0, y0)+(ww, wh) window."""
@@ -296,12 +303,13 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
                         axis=0, keepdims=True,
                     )
                 pz = jnp.where(inside, val, unknown)
-                return acc + bm * (pz * pz * pz)
+                contrib = jnp.log(pz) if log_space else pz * pz * pz
+                return acc + bm * contrib
 
             acc = jax.lax.fori_loop(
                 0, num_beams, beam, jnp.zeros((1, t), jnp.float32)
             )
-            out_ref[:] = 1.0 + acc
+            out_ref[:] = (0.0 if log_space else 1.0) + acc
 
         taken = fits_bw
         if fast:
@@ -353,8 +361,10 @@ def _make_kernel(h: int, w: int, n_book: int, num_beams: int, int8_path: bool,
 _YCOPIES = 128 // _YGRAN
 
 
-def build_values3(codes: Array, codebook: Array) -> Array:
-    """bf16 shifted-copies pz^3 table for the per-beam-window fast path.
+def build_values3(codes: Array, codebook: Array,
+                  log_space: bool = False) -> Array:
+    """bf16 shifted-copies pz^3 (or log pz, for the prob model) table for
+    the per-beam-window fast path.
 
     ``[wq, _YCOPIES*hq]``: transposed (x sublanes, y lanes) value table
     padded to (8, 128) alignment, stored ``_YCOPIES`` times along y with
@@ -365,7 +375,9 @@ def build_values3(codes: Array, codebook: Array) -> Array:
     h, w = codes.shape
     wq = -(-w // 8) * 8
     hq = -(-h // 128) * 128
-    vals3 = (codebook.astype(jnp.float32) ** 3)[codes]  # [H, W]
+    book_f = codebook.astype(jnp.float32)
+    vals = jnp.log(book_f) if log_space else book_f ** 3
+    vals3 = vals[codes]  # [H, W]
     vals_t = jnp.pad(vals3.T.astype(jnp.bfloat16), ((0, wq - w), (0, hq - h)))
     copies = [vals_t] + [
         jnp.pad(vals_t[:, j * _YGRAN:], ((0, 0), (0, j * _YGRAN)))
@@ -374,7 +386,7 @@ def build_values3(codes: Array, codebook: Array) -> Array:
     return jnp.concatenate(copies, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "log_space"))
 def fused_reweight(
     codes: Array,
     codebook: Array,
@@ -388,6 +400,7 @@ def fused_reweight(
     unknown_prob: Array,
     interpret: bool = False,
     values3: Array | None = None,
+    log_space: bool = False,
 ) -> Array:
     """AMCL-parity weights ``1 + sum_b pz^3`` for one filter.
 
@@ -519,7 +532,8 @@ def fused_reweight(
     else:
         gate = jnp.float32(0.0)
 
-    floor3 = jnp.min(codebook.astype(jnp.float32)) ** 3
+    book_min = jnp.min(codebook.astype(jnp.float32))
+    floor3 = jnp.log(book_min) if log_space else book_min ** 3
     scalars = jnp.stack(
         [
             res_f,
@@ -544,7 +558,8 @@ def fused_reweight(
     planes3 = _split3(codebook.astype(jnp.float32)[None, :])  # [3, K]
     planes = jnp.zeros((8, k), jnp.bfloat16).at[0:3].set(planes3)
 
-    kernel = _make_kernel(h, w, k, nb, int8_path=not interpret, fast=fast)
+    kernel = _make_kernel(h, w, k, nb, int8_path=not interpret,
+                          fast=fast, log_space=log_space)
 
     tile_spec = lambda: pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)  # noqa: E731
     in_specs = [

@@ -569,3 +569,55 @@ class TestBeamWindowFastPath:
         exact = np.asarray(self._run(field, codes, book, states, pts, mask, None))
         rel = np.max(np.abs(got - exact) / exact)
         assert rel < 5e-3, rel
+
+    def test_log_space_prob_model_kernel(self):
+        """log_space=True reproduces the LF-prob model's log-weights: exact
+        tier path matches the XLA path to transcendental tolerance; the
+        values3 fast path stays within bf16 table error."""
+        from beluga_tpu.lie import SE2
+        from beluga_tpu.models.sensor.likelihood_field import (
+            likelihood_field_prob_weights,
+        )
+        from beluga_tpu.ops.pallas_reweight import build_values3, fused_reweight
+
+        field, codes, book, _ = self._setup()
+        v3log = build_values3(codes, book, log_space=True)
+        rng = np.random.default_rng(13)
+        states = self._states(150, 2.4, 2.4, sig_xy=0.05, sig_th=0.05)
+        pts, mask = self._scan(b=17)
+        tf = field.world_to_field @ states
+        want = likelihood_field_prob_weights(
+            field, states, pts, mask, lookup_mode="gather"
+        )
+        got_exact = fused_reweight(
+            codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin, pts, mask,
+            field.resolution, field.unknown_prob, interpret=True,
+            log_space=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_exact), np.asarray(want), rtol=0, atol=1e-4
+        )
+        got_fast = fused_reweight(
+            codes, book, tf.x, tf.y, tf.rot.cos, tf.rot.sin, pts, mask,
+            field.resolution, field.unknown_prob, interpret=True,
+            values3=v3log, log_space=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_fast), np.asarray(want), rtol=0, atol=0.05
+        )
+
+    def test_prob_model_builder_ctx(self):
+        """prob_model builders carry the code table (and log-space values3
+        for codebook16) through the ctx."""
+        from beluga_tpu.filters.builders import make_likelihood_field_filter
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+
+        data = np.zeros((96, 96), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.05)
+        _, ctx = make_likelihood_field_filter(
+            grid, prob_model=True, lookup_mode="codebook16"
+        )
+        assert "field_codes" in ctx and "field_values3" in ctx
+        _, ctx2 = make_likelihood_field_filter(grid, prob_model=True)
+        assert "field_codes" in ctx2 and "field_values3" not in ctx2
