@@ -327,10 +327,19 @@ def make_beam_filter(
         )
 
         def log_weight(ctx, states, points, beam_mask):
-            w = beam_lut_weights(beam_params, ctx["range_lut"], states, points, beam_mask)
+            w = beam_lut_weights(
+                beam_params, ctx["range_lut"], states, points, beam_mask,
+                lut_bf16=ctx.get("range_lut_bf16"),
+            )
             return jnp.log(jnp.maximum(w, 1e-30))
 
         ctx = {"grid": grid, "range_lut": lut}
+        if use_range_lut == "windowed":
+            # fleet-scale fast path: no serialized gathers; out-of-window
+            # strays score as all-casts-miss (ops/pallas_beam_lut.py)
+            from beluga_tpu.ops.pallas_beam_lut import build_lut_bf16
+
+            ctx["range_lut_bf16"] = build_lut_bf16(lut.ranges)
     else:
         def log_weight(ctx, states, points, beam_mask):
             return beam_log_weights(

@@ -106,13 +106,38 @@ def beam_lut_weights(
     points: Array,
     beam_mask: Array,
     lookup_mode: str = "auto",
+    lut_bf16: Array | None = None,
 ) -> Array:
     """AMCL-parity beam weights ``Σ pz³`` using the range LUT; ``f32[N]``.
 
     Identical mixture math to models/sensor/beam.py (beam_model.hpp:104-148)
     with ``z_mean`` read from the LUT (bearing-interpolated) instead of
-    ray-marched.
+    ray-marched.  ``lut_bf16`` (from ops/pallas_beam_lut.build_lut_bf16)
+    selects the windowed Pallas kernel on TPU — the fleet-scale fast path
+    (no serialized gathers; out-of-window strays read max_range).
     """
+    if lut_bf16 is not None and jax.default_backend() == "tpu":
+        from beluga_tpu.ops.pallas_beam_lut import beam_lut_windowed
+
+        local = lut.origin_inv @ states
+        k, h, w = lut.ranges.shape
+        xi = jnp.clip(
+            jnp.floor(local.x / lut.resolution).astype(jnp.int32), 0, w - 1
+        )
+        yi = jnp.clip(
+            jnp.floor(local.y / lut.resolution).astype(jnp.int32), 0, h - 1
+        )
+        z = jnp.linalg.norm(points, axis=-1)
+        bearing = jnp.arctan2(points[:, 1], points[:, 0])
+        mix = jnp.asarray(
+            [params.z_hit, params.z_short, params.z_rand, params.z_max,
+             params.sigma_hit, params.lambda_short, params.beam_max_range],
+            jnp.float32,
+        )
+        return beam_lut_windowed(
+            lut_bf16, local.theta, xi, yi, z, bearing, beam_mask,
+            lut.max_range, mix,
+        )
     from beluga_tpu.ops.gather2d import table_lookup
 
     z = jnp.linalg.norm(points, axis=-1)  # [B]

@@ -199,3 +199,204 @@ class TestSphereTraceBeam:
         err = np.hypot(float(est.pose.x) - true[0], float(est.pose.y) - true[1])
         assert err < 0.5, err
         assert np.isfinite(np.asarray(state.particles.log_weight)).all()
+
+
+class TestWindowedBeamLut:
+    """Fleet-scale windowed range-LUT kernel (ops/pallas_beam_lut.py,
+    interpret mode): parity with the gather path inside the window,
+    all-casts-miss scoring outside it, fleet folding."""
+
+    def _world(self):
+        data = np.zeros((96, 96), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[40:46, 60:66] = OCCUPIED_VALUE
+        data[20:24, 20:30] = OCCUPIED_VALUE
+        return make_grid(data, 0.1)
+
+    def _inputs(self, lut, states, points, mask):
+        local = lut.origin_inv @ states
+        k, h, w = lut.ranges.shape
+        xi = jnp.clip(jnp.floor(local.x / lut.resolution).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.floor(local.y / lut.resolution).astype(jnp.int32), 0, h - 1)
+        z = jnp.linalg.norm(points, axis=-1)
+        bearing = jnp.arctan2(points[:, 1], points[:, 0])
+        return local.theta, xi, yi, z, bearing
+
+    def _mix(self, p):
+        return jnp.asarray(
+            [p.z_hit, p.z_short, p.z_rand, p.z_max, p.sigma_hit,
+             p.lambda_short, p.beam_max_range], jnp.float32)
+
+    def test_matches_gather_path_in_window(self):
+        """Against the gather path fed the SAME bf16-quantized LUT the
+        kernel reads, in-window parity is tight (erf approx only)."""
+        import dataclasses
+
+        from beluga_tpu.ops.pallas_beam_lut import _windowed_impl, build_lut_bf16
+
+        world = self._world()
+        params = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(world, max_range=4.0, n_bearings=32)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+        # gather-path oracle on the quantized table
+        qranges = jnp.transpose(lut_bf16, (0, 2, 1)).astype(jnp.float32)
+        k, h, w = lut.ranges.shape
+        lut_q = dataclasses.replace(lut, ranges=qranges[:, :h, :w])
+
+        rng = np.random.default_rng(7)
+        n, nb = 200, 12
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(3.5, 6.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(3.5, 6.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32))
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        r = rng.uniform(0.4, 2.5, nb)
+        pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], -1),
+                          jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=nb) > 0.2)
+
+        want = np.asarray(beam_lut_weights(params, lut_q, states, pts, mask))
+        theta, xi, yi, z, bearing = self._inputs(lut, states, pts, mask)
+        got = np.asarray(_windowed_impl(
+            lut_bf16, theta[None], xi[None], yi[None], z[None],
+            bearing[None], mask[None], lut.max_range, self._mix(params),
+            interpret=True)[0])
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+    def test_stray_scores_all_casts_miss(self):
+        """An out-of-window particle reads z_mean = max_range on every
+        beam — the bounded-error stray contract."""
+        import dataclasses
+
+        from beluga_tpu.ops.pallas_beam_lut import _windowed_impl, build_lut_bf16
+
+        world = self._world()
+        params = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(world, max_range=4.0, n_bearings=16)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+
+        rng = np.random.default_rng(8)
+        n, nb = 64, 8
+        xs = np.full(n, 8.0); ys = np.full(n, 8.0)
+        xs[:3] = ys[:3] = 0.6  # strays: ~74 cells away from the cluster
+        states = SE2.from_xytheta(
+            jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+            jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32))
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        pts = jnp.asarray(np.stack([1.5 * np.cos(ang), 1.5 * np.sin(ang)], -1),
+                          jnp.float32)
+        mask = jnp.ones(nb, bool)
+
+        theta, xi, yi, z, bearing = self._inputs(lut, states, pts, mask)
+        got = np.asarray(_windowed_impl(
+            lut_bf16, theta[None], xi[None], yi[None], z[None],
+            bearing[None], mask[None], lut.max_range, self._mix(params),
+            interpret=True)[0])
+        # oracle: gather path on a constant-max_range LUT (all casts miss)
+        lut_miss = dataclasses.replace(
+            lut, ranges=jnp.full_like(lut.ranges, lut.max_range))
+        strays = jax.tree_util.tree_map(lambda l: l[:3], states)
+        want_miss = np.asarray(
+            beam_lut_weights(params, lut_miss, strays, pts, mask))
+        np.testing.assert_allclose(got[:3], want_miss, rtol=2e-3)
+        # ...and the cluster does NOT read all-miss
+        assert np.abs(got[3:] / want_miss.mean() - 1.0).min() > 1e-3
+
+    def test_fleet_folding_matches_per_filter(self):
+        """F=2 filters folded into the tile grid == two single-filter calls."""
+        from beluga_tpu.ops.pallas_beam_lut import _windowed_impl, build_lut_bf16
+
+        world = self._world()
+        params = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(world, max_range=4.0, n_bearings=16)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+
+        rng = np.random.default_rng(9)
+        n, nb = 100, 6
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        pts = jnp.asarray(np.stack([1.2 * np.cos(ang), 1.2 * np.sin(ang)], -1),
+                          jnp.float32)
+        mask = jnp.ones(nb, bool)
+        rows = []
+        for c in ((2.5, 2.5), (6.5, 6.5)):
+            st = SE2.from_xytheta(
+                jnp.asarray(rng.uniform(c[0] - 0.5, c[0] + 0.5, n), jnp.float32),
+                jnp.asarray(rng.uniform(c[1] - 0.5, c[1] + 0.5, n), jnp.float32),
+                jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32))
+            rows.append(self._inputs(lut, st, pts, mask))
+        stack = [jnp.stack([a[i] for a in rows]) for i in range(5)]
+        mix = self._mix(params)
+        batched = np.asarray(_windowed_impl(
+            lut_bf16, *stack, jnp.broadcast_to(mask, (2, nb)),
+            lut.max_range, mix, interpret=True))
+        for fi in range(2):
+            single = np.asarray(_windowed_impl(
+                lut_bf16, *(a[None] for a in rows[fi]), mask[None],
+                lut.max_range, mix, interpret=True)[0])
+            np.testing.assert_allclose(batched[fi], single, rtol=1e-5)
+
+    def test_small_map_padding(self):
+        """Maps narrower than the 64-cell window pad up; origins stay valid."""
+        from beluga_tpu.ops.pallas_beam_lut import (
+            _CWX, _CWY, _windowed_impl, build_lut_bf16)
+
+        data = np.zeros((40, 40), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        world = make_grid(data, 0.1)
+        params = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(world, max_range=4.0, n_bearings=8)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+        assert lut_bf16.shape[1] >= _CWX and lut_bf16.shape[2] >= _CWY
+
+        rng = np.random.default_rng(10)
+        n, nb = 32, 4
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(1.0, 3.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(1.0, 3.0, n), jnp.float32),
+            jnp.zeros(n, jnp.float32))
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        pts = jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], -1), jnp.float32)
+        mask = jnp.ones(nb, bool)
+        theta, xi, yi, z, bearing = self._inputs(lut, states, pts, mask)
+        got = np.asarray(_windowed_impl(
+            lut_bf16, theta[None], xi[None], yi[None], z[None],
+            bearing[None], mask[None], lut.max_range, self._mix(params),
+            interpret=True)[0])
+        assert np.isfinite(got).all() and (got > 0).all()
+
+    def test_builder_windowed_ctx_and_cpu_fallback(self):
+        """use_range_lut="windowed" publishes the bf16 LUT in ctx; off-TPU
+        the update falls back to the gather path and still tracks."""
+        from beluga_tpu.core.random import sample_normal_se2
+        from beluga_tpu.filters.amcl import AmclParams, init_state, update
+        from beluga_tpu.filters.builders import make_beam_filter
+
+        world = self._world()
+        models, ctx = make_beam_filter(
+            world, BeamModelParams(beam_max_range=4.0),
+            use_range_lut="windowed", n_bearings=32)
+        assert "range_lut_bf16" in ctx
+        assert ctx["range_lut_bf16"].dtype == jnp.bfloat16
+
+        params = AmclParams(max_particles=256, min_particles=64)
+        true = (4.8, 4.8, 0.3)
+        nb = 16
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        src = jnp.broadcast_to(jnp.asarray(true[:2], jnp.float32), (nb, 2))
+        dirs = jnp.stack(
+            [jnp.cos(jnp.asarray(ang + true[2], jnp.float32)),
+             jnp.sin(jnp.asarray(ang + true[2], jnp.float32))], -1)
+        dist, hit = cast_rays(world, src, dirs, 4.0, resolution_hint=0.1)
+        r = np.asarray(dist)
+        pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], -1),
+                          jnp.float32)
+        mask = jnp.asarray(np.asarray(hit))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        states = sample_normal_se2(
+            k1, 256, SE2.from_xytheta(*true), jnp.eye(3) * 0.04)
+        state = init_state(k2, states, params)
+        for _ in range(3):
+            state = state._replace(force_update=jnp.asarray(True))
+            state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        err = np.hypot(float(est.pose.x) - true[0], float(est.pose.y) - true[1])
+        assert err < 0.5, err
