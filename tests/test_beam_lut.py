@@ -238,8 +238,8 @@ class TestWindowedBeamLut:
         params = BeamModelParams(beam_max_range=4.0)
         lut = build_range_lut(world, max_range=4.0, n_bearings=32)
         lut_bf16 = build_lut_bf16(lut.ranges)
-        # gather-path oracle on the quantized table
-        qranges = jnp.transpose(lut_bf16, (0, 2, 1)).astype(jnp.float32)
+        # gather-path oracle on the quantized table ([2Wq, K, Hq] x-major)
+        qranges = jnp.transpose(lut_bf16, (1, 2, 0)).astype(jnp.float32)
         k, h, w = lut.ranges.shape
         lut_q = dataclasses.replace(lut, ranges=qranges[:, :h, :w])
 
@@ -346,7 +346,7 @@ class TestWindowedBeamLut:
         params = BeamModelParams(beam_max_range=4.0)
         lut = build_range_lut(world, max_range=4.0, n_bearings=8)
         lut_bf16 = build_lut_bf16(lut.ranges)
-        assert lut_bf16.shape[1] >= _CWX and lut_bf16.shape[2] >= _CWY
+        assert lut_bf16.shape[0] >= _CWX and lut_bf16.shape[2] >= _CWY
 
         rng = np.random.default_rng(10)
         n, nb = 32, 4
@@ -400,3 +400,44 @@ class TestWindowedBeamLut:
             state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
         err = np.hypot(float(est.pose.x) - true[0], float(est.pose.y) - true[1])
         assert err < 0.5, err
+
+    def test_banded_stage2_matches_gather(self):
+        """Tight-theta clouds take the banded stage-2 path (K >= 2*_BAND);
+        parity with the gather oracle holds, including bin wraparound at
+        the +-pi seam."""
+        import dataclasses
+
+        from beluga_tpu.ops.pallas_beam_lut import (
+            _BAND, _windowed_impl, build_lut_bf16)
+
+        world = self._world()
+        params = BeamModelParams(beam_max_range=4.0)
+        kb = 128
+        assert kb >= 2 * _BAND
+        lut = build_range_lut(world, max_range=4.0, n_bearings=kb)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+        qranges = jnp.transpose(lut_bf16, (1, 2, 0)).astype(jnp.float32)
+        k, h, w = lut.ranges.shape
+        lut_q = dataclasses.replace(lut, ranges=qranges[:, :h, :w])
+
+        rng = np.random.default_rng(11)
+        n, nb = 150, 10
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        r = rng.uniform(0.4, 2.5, nb)
+        pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], -1),
+                          jnp.float32)
+        mask = jnp.ones(nb, bool)
+        for tc in (0.3, np.pi):  # pi: band straddles the bin seam
+            th = np.mod(rng.normal(tc, 0.08, n) + np.pi, 2 * np.pi) - np.pi
+            states = SE2.from_xytheta(
+                jnp.asarray(rng.uniform(4.0, 5.5, n), jnp.float32),
+                jnp.asarray(rng.uniform(4.0, 5.5, n), jnp.float32),
+                jnp.asarray(th, jnp.float32))
+            want = np.asarray(beam_lut_weights(params, lut_q, states, pts, mask))
+            theta, xi, yi, z, bearing = self._inputs(lut, states, pts, mask)
+            got = np.asarray(_windowed_impl(
+                lut_bf16, theta[None], xi[None], yi[None], z[None],
+                bearing[None], mask[None], lut.max_range, self._mix(params),
+                interpret=True)[0])
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5,
+                                       err_msg=f"tc={tc}")
