@@ -323,6 +323,50 @@ def phase_sync() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"beam secondary skipped: {type(e).__name__}: {e}")
 
+    # secondary (stderr only): the windowed beam range-LUT kernel at fleet
+    # scale (ops/pallas_beam_lut.py) — the beam-model tracking fast path
+    if remaining() > 150:
+        try:
+            import jax.numpy as jnp
+
+            from beluga_tpu.filters.amcl import AmclParams
+            from beluga_tpu.filters.builders import make_beam_filter
+            from beluga_tpu.models.sensor.beam import BeamModelParams
+            from beluga_tpu.parallel.fleet import make_fleet_update
+
+            _sw, ctx_w, st_w, od_w, pts_w, mk_w = build(
+                BATCH, NPART, BEAMS, lookup_mode=LOOKUP_MODE
+            )
+            bp_w = BeamModelParams(beam_max_range=4.0)
+            t0 = time.monotonic()
+            models_w, ctx_w2 = make_beam_filter(
+                ctx_w["grid"], beam_params=bp_w, use_range_lut="windowed",
+                n_bearings=128,
+            )
+            jax.block_until_ready(ctx_w2["range_lut_bf16"])
+            log(f"windowed beam LUT build: {time.monotonic() - t0:.1f}s "
+                "(one-off per map)")
+            p_w = AmclParams(max_particles=NPART, min_particles=NPART,
+                             sorted_slots=True)
+            wstep = jax.jit(make_fleet_update(p_w, models_w))
+            sw = st_w
+            for i in range(4):
+                sw, _ = wstep(ctx_w2, sw, od_w[i], pts_w[i], mk_w[i])
+            jax.block_until_ready(sw)
+            t0 = time.perf_counter()
+            for i in range(8):
+                sw, _ = wstep(ctx_w2, sw, od_w[4 + i], pts_w[4 + i], mk_w[4 + i])
+            jax.block_until_ready(sw)
+            d = max((time.perf_counter() - t0) / 8 - floor, 1e-9)
+            log(
+                f"windowed beam fleet {BATCH}x{NPART}x{BEAMS}: "
+                f"{d*1e3:.2f} ms/step ({BATCH * NPART / d:.3e} "
+                f"particle-updates/s, {BATCH * NPART * BEAMS / d:.3e} "
+                "beam-evals/s)"
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"windowed beam secondary skipped: {type(e).__name__}: {e}")
+
     # secondary (stderr only): the mega-particle configuration — one filter
     # with 262144 particles, globally stratified systematic resampling
     if remaining() > 120:
