@@ -282,7 +282,7 @@ def make_beam_filter(
     grid: OccupancyGrid,
     beam_params=None,
     motion_params: Any = DifferentialDriveParams(),
-    use_range_lut: bool = False,
+    use_range_lut: bool | str = False,
     n_bearings: int = 128,
     use_cluster_estimate: bool = False,
     use_sphere_trace: bool = False,
@@ -293,10 +293,14 @@ def make_beam_filter(
     ``raycast_variant`` selects the exact-path Bresenham variant
     (``"standard"`` or ``"supercover"``, bresenham.hpp:37-41).
 
-    Fast paths (both opt-in; the exact path ray-marches with the lock-step
+    Fast paths (all opt-in; the exact path ray-marches with the lock-step
     Bresenham):
       * ``use_range_lut=True`` — per-map CDDT-style range LUT, one lookup
         per beam (bearing-quantization error);
+      * ``use_range_lut="windowed"`` — the range LUT through the windowed
+        Pallas kernel on TPU (ops/pallas_beam_lut.py): the fleet-scale
+        tracking path, ~42x the gather LUT; out-of-window strays score as
+        all-casts-miss (off-TPU it falls back to the gather LUT);
       * ``use_sphere_trace=True`` — fused Pallas kernel marching the EDT
         (no LUT build, no serialized gathers; ~1-cell range error).
     Returns ``(models, ctx)``.

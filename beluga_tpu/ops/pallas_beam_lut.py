@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from beluga_tpu.ops.pallas_beam import _erf
 from beluga_tpu.ops.pallas_reweight import _BLOCKS, _TILE
 
 Array = jax.Array
@@ -53,16 +54,6 @@ Array = jax.Array
 _CWX = 40  # window x extent (leading/untiled axis of the x-major LUT)
 _CWY = 128  # window y extent (lane axis)
 
-
-def _erf(x):
-    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7); Mosaic
-    has no erf primitive."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-                + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 _CHUNK = 256  # lane chunk of the stage-1 one-hot matmul (divides every block)
 
@@ -78,12 +69,10 @@ _BAND_O = 23
 _DEV_MAX = 22.0
 
 
-def _make_kernel(num_beams: int, kbins: int, n_blocks: int,
-                 tiles_per_filter: int, wq: int):
+def _make_kernel(num_beams: int, kbins: int, wq: int):
     def kernel(scalars_ref, beams_ref, orig_ref, meta_ref, theta_ref,
                xi_ref, yi_ref, lut_ref, out_ref, col_ref, win_ref,
                win3_ref, sem):
-        t = theta_ref.shape[1]
         max_range = scalars_ref[0, 0]
         z_hit = scalars_ref[0, 1]
         z_short = scalars_ref[0, 2]
@@ -162,7 +151,9 @@ def _make_kernel(num_beams: int, kbins: int, n_blocks: int,
             pz = pz + jnp.where(
                 z < beam_max_range, z_rand / beam_max_range, z_max
             )
-            return acc + bm * (pz * pz * pz)
+            # where, not multiply: masked beams may carry NaN points
+            # (standard invalid-return encoding) and 0 * NaN = NaN
+            return acc + jnp.where(bm > 0.0, pz * pz * pz, 0.0)
 
         def bins_of(theta, bearing):
             ft = jnp.mod(theta + bearing, two_pi) / two_pi * kbins
@@ -245,11 +236,12 @@ def _make_kernel(num_beams: int, kbins: int, n_blocks: int,
     return kernel
 
 
-def _beam_lut_call(lut_bf16, theta, xi, yi, beams, max_range, mix,
+def _beam_lut_call(lut_bf16, theta, xi, yi, valid, beams, max_range, mix,
                    interpret=False):
     """Core pallas call over ``F`` filters folded into the tile grid.
 
-    theta/xi/yi: [F, Np] with Np a multiple of ``_TILE``; beams: [F, 3, B].
+    theta/xi/yi: [F, Np] with Np a multiple of ``_TILE``; valid: bool
+    [F, Np] marking real (non-pad) lanes; beams: [F, 3, B].
     """
     twq, kbins, hq = lut_bf16.shape
     wq = twq // 2  # twin table: two y-shifted copies along x
@@ -261,11 +253,20 @@ def _beam_lut_call(lut_bf16, theta, xi, yi, beams, max_range, mix,
 
     flat = lambda v: v.reshape(1, -1)  # noqa: E731
 
-    # per-(tile, block) centered window origins from block mean cells
+    # Per-(tile, block) window origins from block mean cells.  Pad lanes
+    # are EXCLUDED from every statistic: their value is an arbitrary slot
+    # replica, and letting it vote would recenter the window on whatever
+    # particle happened to be copied (e.g. the strays-last sort puts the
+    # worst outlier in the final slot).  Their scores are sliced away by
+    # the caller, so only the stats matter.
+    vm = valid.astype(jnp.float32).reshape(n_tiles, _TILE)
+
     def bmean(v):
         vt = v.reshape(n_tiles, _TILE)
         return jnp.stack(
-            [jnp.mean(vt[:, s : s + zz], axis=1) for s, zz in _BLOCKS], axis=1
+            [jnp.sum(vt[:, s:s + zz] * vm[:, s:s + zz], axis=1)
+             / jnp.maximum(jnp.sum(vm[:, s:s + zz], axis=1), 1.0)
+             for s, zz in _BLOCKS], axis=1
         )  # [n_tiles, n_blocks]
 
     cx = bmean(xi.astype(jnp.float32)).astype(jnp.int32)
@@ -276,7 +277,7 @@ def _beam_lut_call(lut_bf16, theta, xi, yi, beams, max_range, mix,
     x0 = jnp.clip(cx - _CWX // 2, 0, wq - _CWX)
     y0 = jnp.clip((cy - _CWY // 2 + 32) // 64, 0, (hq - _CWY) // 64)
     gp = -(-(2 * n_blocks) // 128) * 128
-    origins = jnp.zeros((n_tiles, 3, gp), jnp.int32)
+    origins = jnp.zeros((n_tiles, 2, gp), jnp.int32)
     origins = origins.at[:, 0, :n_blocks].set(x0).at[:, 1, :n_blocks].set(y0)
 
     # per-(tile, block) circular theta mean + banded-path gate (stage 2)
@@ -284,11 +285,12 @@ def _beam_lut_call(lut_bf16, theta, xi, yi, beams, max_range, mix,
     tmeans, valids = [], []
     for s, zz in _BLOCKS:
         blk = tht[:, s : s + zz]
-        tm = jnp.arctan2(jnp.mean(jnp.sin(blk), axis=1),
-                         jnp.mean(jnp.cos(blk), axis=1))
+        m = vm[:, s : s + zz]
+        tm = jnp.arctan2(jnp.sum(jnp.sin(blk) * m, axis=1),
+                         jnp.sum(jnp.cos(blk) * m, axis=1) + 1e-20)
         dev = jnp.max(
             jnp.abs(jnp.mod(blk - tm[:, None] + jnp.pi, 2.0 * jnp.pi)
-                    - jnp.pi),
+                    - jnp.pi) * m,
             axis=1,
         )
         tmeans.append(tm)
@@ -304,7 +306,7 @@ def _beam_lut_call(lut_bf16, theta, xi, yi, beams, max_range, mix,
          jnp.asarray(mix, jnp.float32)]
     )[None, :]  # [1, 8]
 
-    kernel = _make_kernel(nb, kbins, n_blocks, tiles_pf, wq)
+    kernel = _make_kernel(nb, kbins, wq)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -312,7 +314,7 @@ def _beam_lut_call(lut_bf16, theta, xi, yi, beams, max_range, mix,
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, nb), lambda i, tpf=tiles_pf: (i // tpf, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, gp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, gp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, gp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -353,8 +355,8 @@ def beam_lut_windowed(
     shared HBM-resident LUT stays unbatched).
 
     Args:
-      lut_bf16: bf16[K, Wq, Hq] transposed, padded range LUT (x sublanes,
-        y lanes) from :func:`build_lut_bf16`.
+      lut_bf16: bf16[2*Wq, K, Hq] x-major twin-table range LUT (bearing
+        bins on sublanes, y lanes) from :func:`build_lut_bf16`.
       theta: f32[N] particle headings (grid-local); xi/yi: i32[N] cells.
       z/bearing/beam_mask: f32[B]/f32[B]/bool[B] measured ranges+bearings.
     """
@@ -369,14 +371,17 @@ def _windowed_impl(lut_bf16, theta, xi, yi, z, bearing, beam_mask,
     n_pad = -(-n // _TILE) * _TILE
 
     def pad(v):
+        # pad value is arbitrary (pad lanes are excluded from the window/
+        # band statistics and their scores are sliced away below)
         return jnp.pad(v, ((0, 0), (0, n_pad - n)), mode="edge")
 
+    valid = jnp.broadcast_to(jnp.arange(n_pad) < n, (f, n_pad))
     beams = jnp.stack(
         [z, bearing, beam_mask.astype(jnp.float32)], axis=1
     )  # [F, 3, B]
     out = _beam_lut_call(
-        lut_bf16, pad(theta), pad(xi), pad(yi), beams, max_range, mix,
-        interpret=interpret,
+        lut_bf16, pad(theta), pad(xi), pad(yi), valid, beams, max_range,
+        mix, interpret=interpret,
     )
     return out[:, :n]
 

@@ -441,3 +441,75 @@ class TestWindowedBeamLut:
                 interpret=True)[0])
             np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5,
                                        err_msg=f"tc={tc}")
+
+    def test_masked_nan_beam_does_not_poison(self):
+        """A masked beam carrying a NaN point (the standard invalid-return
+        encoding) must not poison the weights (regression: 0*NaN=NaN)."""
+        from beluga_tpu.ops.pallas_beam_lut import _windowed_impl, build_lut_bf16
+
+        world = self._world()
+        params = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(world, max_range=4.0, n_bearings=16)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+        rng = np.random.default_rng(12)
+        n, nb = 50, 6
+        states = SE2.from_xytheta(
+            jnp.asarray(rng.uniform(4.0, 5.0, n), jnp.float32),
+            jnp.asarray(rng.uniform(4.0, 5.0, n), jnp.float32),
+            jnp.zeros(n, jnp.float32))
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        pts = np.stack([1.5 * np.cos(ang), 1.5 * np.sin(ang)], -1)
+        pts[2] = np.nan  # invalid return
+        mask = np.ones(nb, bool); mask[2] = False
+        theta, xi, yi, z, bearing = self._inputs(
+            lut, states, jnp.asarray(pts, jnp.float32), jnp.asarray(mask))
+        got = np.asarray(_windowed_impl(
+            lut_bf16, theta[None], xi[None], yi[None], z[None],
+            bearing[None], jnp.asarray(mask)[None], lut.max_range,
+            self._mix(params), interpret=True)[0])
+        assert np.isfinite(got).all()
+        # oracle: same scan with the NaN beam replaced by a benign point
+        pts2 = pts.copy(); pts2[2] = (1.0, 0.0)
+        theta, xi, yi, z2, b2 = self._inputs(
+            lut, states, jnp.asarray(pts2, jnp.float32), jnp.asarray(mask))
+        want = np.asarray(_windowed_impl(
+            lut_bf16, theta[None], xi[None], yi[None], z2[None],
+            b2[None], jnp.asarray(mask)[None], lut.max_range,
+            self._mix(params), interpret=True)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_pad_slots_use_first_particle(self):
+        """With n not a multiple of the tile and a stray in the LAST slot
+        (the strays-last sort order), the pad lanes must not recenter the
+        window on the stray (regression: edge-padding)."""
+        import dataclasses
+
+        from beluga_tpu.ops.pallas_beam_lut import _windowed_impl, build_lut_bf16
+
+        world = self._world()
+        params = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(world, max_range=4.0, n_bearings=16)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+        qranges = jnp.transpose(lut_bf16, (1, 2, 0)).astype(jnp.float32)
+        k, h, w = lut.ranges.shape
+        lut_q = dataclasses.replace(lut, ranges=qranges[:, :h, :w])
+
+        rng = np.random.default_rng(13)
+        n, nb = 200, 6
+        xs = rng.uniform(4.2, 5.2, n); ys = rng.uniform(4.2, 5.2, n)
+        xs[-1] = ys[-1] = 0.8  # stray in the final slot
+        states = SE2.from_xytheta(
+            jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+            jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32))
+        ang = np.linspace(-np.pi, np.pi, nb, endpoint=False)
+        pts = jnp.asarray(np.stack([1.4 * np.cos(ang), 1.4 * np.sin(ang)], -1),
+                          jnp.float32)
+        mask = jnp.ones(nb, bool)
+        want = np.asarray(beam_lut_weights(params, lut_q, states, pts, mask))
+        theta, xi, yi, z, bearing = self._inputs(lut, states, pts, mask)
+        got = np.asarray(_windowed_impl(
+            lut_bf16, theta[None], xi[None], yi[None], z[None],
+            bearing[None], mask[None], lut.max_range, self._mix(params),
+            interpret=True)[0])
+        # the cloud (all but the stray) must match the oracle — not all-miss
+        np.testing.assert_allclose(got[:-1], want[:-1], rtol=2e-3, atol=1e-5)
