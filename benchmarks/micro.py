@@ -137,6 +137,20 @@ def main(argv=None):
     bench("raycast_256_rays", lambda s, d: cast_rays(grid, s, d, 5.0)[0],
           src, dirs, unit_count=256)
 
+    if jax.default_backend() == "tpu":
+        from beluga_tpu.models.sensor.beam import BeamModelParams
+        from beluga_tpu.models.sensor.beam_lut import (
+            beam_lut_weights, build_range_lut)
+        from beluga_tpu.ops.pallas_beam_lut import build_lut_bf16
+
+        bp = BeamModelParams(beam_max_range=4.0)
+        lut = build_range_lut(grid, max_range=4.0, n_bearings=128)
+        lut_bf16 = build_lut_bf16(lut.ranges)
+        bench("beam_lut_windowed_reweight",
+              lambda s: beam_lut_weights(bp, lut, s, pts, mask,
+                                         lut_bf16=lut_bf16),
+              states, unit_count=n * b)
+
 
 if __name__ == "__main__":
     main()
