@@ -77,6 +77,11 @@ class AmclNodeConfig:
     lambda_short: float = 0.1
     model_unknown_space: bool = False
     only_obstacle_boundaries: bool = False
+    # TPU extension (no reference analog): how the beam model evaluates.
+    # "exact" ray-marches (reference-faithful); "lut" uses the per-map
+    # CDDT range LUT; "windowed" adds the fleet-scale Pallas kernel on
+    # TPU; "sphere_trace" marches the EDT in a fused kernel.
+    beam_fast_path: str = "exact"
 
     # -- initial pose --------------------------------------------------------
     set_initial_pose: bool = False
@@ -132,6 +137,8 @@ class AmclNodeConfig:
             raise ValueError(f"invalid robot_model_type {self.robot_model_type!r}")
         if self.laser_model_type not in SENSOR_MODELS:
             raise ValueError(f"invalid laser_model_type {self.laser_model_type!r}")
+        if self.beam_fast_path not in ("exact", "lut", "windowed", "sphere_trace"):
+            raise ValueError(f"invalid beam_fast_path {self.beam_fast_path!r}")
         if self.execution_policy not in ("seq", "par"):
             raise ValueError(f"invalid execution_policy {self.execution_policy!r}")
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from beluga_tpu.core.random import sample_normal_se2, sample_uniform_free_cells
 from beluga_tpu.filters import amcl as amcl_filter
-from beluga_tpu.filters.builders import make_likelihood_field_filter, make_motion_fn
+from beluga_tpu.filters.builders import make_likelihood_field_filter
 from beluga_tpu.io.config import AmclNodeConfig
 from beluga_tpu.lie import SE2
 from beluga_tpu.maps.occupancy import OccupancyGrid
@@ -71,27 +71,21 @@ class AmclNode:
         rebuild = self._models is None
         cfg = self.config
         if cfg.laser_model_type == "beam":
-            from beluga_tpu.filters.amcl import AmclModels, default_estimate, default_hash_state
-            from beluga_tpu.filters.builders import make_grid_random_state_fn
-            from beluga_tpu.models.sensor.beam import beam_log_weights
+            from beluga_tpu.filters.builders import make_beam_filter
 
-            beam_params = cfg.beam_params()
-            res_hint = grid.resolution_hint
-
-            def log_weight(ctx, states, points, beam_mask):
-                return beam_log_weights(
-                    beam_params, ctx["grid"], states, points, beam_mask,
-                    resolution_hint=res_hint,
-                )
-
-            self._models = AmclModels(
-                propagate=make_motion_fn(cfg.motion_params()),
-                log_weight=log_weight,
-                random_state=make_grid_random_state_fn(),
-                hash_state=default_hash_state,
-                estimate=default_estimate,
+            # cluster estimate matches the reference node path, which uses
+            # cluster_based_estimation for every sensor model
+            # (beluga_ros/include/beluga_ros/amcl.hpp estimate())
+            self._models, self._ctx = make_beam_filter(
+                grid,
+                cfg.beam_params(),
+                motion_params=cfg.motion_params(),
+                use_range_lut={"lut": True, "windowed": "windowed"}.get(
+                    cfg.beam_fast_path, False
+                ),
+                use_sphere_trace=cfg.beam_fast_path == "sphere_trace",
+                use_cluster_estimate=True,
             )
-            self._ctx = {"grid": grid}
         else:
             self._models, self._ctx = make_likelihood_field_filter(
                 grid,

@@ -139,6 +139,21 @@ class TestNode:
         res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
         assert res.valid
 
+    @pytest.mark.parametrize("fast_path", ["lut", "windowed", "sphere_trace"])
+    def test_beam_fast_path_node(self, fast_path):
+        """The beam_fast_path knob wires each accelerated beam evaluation
+        through the node (off-TPU "windowed" falls back to the gather LUT)."""
+        node = self.make_node(laser_model_type="beam", laser_max_range=8.0,
+                              beam_fast_path=fast_path)
+        if fast_path == "windowed":
+            assert "range_lut_bf16" in node._ctx
+        res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
+        assert res.valid and np.isfinite(res.pose).all()
+
+    def test_invalid_beam_fast_path_rejected(self):
+        with pytest.raises(ValueError):
+            AmclNodeConfig(beam_fast_path="warp")
+
     def test_latency_reported(self):
         node = self.make_node()
         res = node.handle_scan((0.0, 0.0, 0.0), scan_toward_wall())
