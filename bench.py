@@ -367,6 +367,64 @@ def phase_sync() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"windowed beam secondary skipped: {type(e).__name__}: {e}")
 
+    # secondary (stderr only): BASELINE config #4 — 3D VDB-style
+    # localization, 131072 SE3 particles x 80 points, codebook fast path
+    if remaining() > 120:
+        try:
+            import jax.numpy as jnp
+
+            from beluga_tpu.core.random import sample_normal_se3
+            from beluga_tpu.filters.amcl import AmclParams, init_state, update
+            from beluga_tpu.filters.vdb_builders import make_vdb_filter_3d
+            from beluga_tpu.lie import SE3, SO3
+            from beluga_tpu.maps.voxel import make_distance_grid_from_points
+
+            rng_v = np.random.default_rng(4)
+            wpts = [[x, y, 0.0] for x in np.arange(0, 8, 0.2)
+                    for y in np.arange(0, 8, 0.2)]
+            for t in np.arange(0, 8, 0.1):
+                for zz in np.arange(0, 2.5, 0.25):
+                    wpts += [[t, 0.0, zz], [0.0, t, zz]]
+            wpts += [[5.0, 5.0, zz] for zz in np.arange(0, 2.0, 0.2)]
+            grid_v = make_distance_grid_from_points(wpts, 0.2, max_distance=5.0)
+            models_v, ctx_v = make_vdb_filter_3d(grid_v, voxel_size_hint=0.2)
+            n_v = 131072
+            p_v = AmclParams(max_particles=n_v, min_particles=n_v // 4)
+            meas = np.asarray(
+                [[5.0, 5.0, zz] for zz in np.arange(0, 2.0, 0.2)]
+                + [[t, 0.0, 1.0] for t in np.arange(0, 8, 0.4)]
+                + [[0.0, t, 1.0] for t in np.arange(0, 8, 0.4)])
+            sel = meas[rng_v.integers(0, len(meas), 80)]
+            cy, sy = np.cos(0.3), np.sin(0.3)
+            rot = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+            pts_v = jnp.asarray(
+                ((sel - np.array([3.0, 3.0, 0.0])) @ rot
+                 + rng_v.normal(0, 0.02, sel.shape)).astype(np.float32))
+            mask_v = jnp.ones(len(pts_v), bool)
+            kv1, kv2 = jax.random.split(jax.random.PRNGKey(0))
+            mean_v = SE3(jnp.asarray([3.0, 3.0, 0.0], jnp.float32),
+                         SO3.from_rpy(jnp.float32(0.0), jnp.float32(0.0),
+                                      jnp.float32(0.3)))
+            sv = init_state(
+                kv2, sample_normal_se3(kv1, n_v, mean_v, jnp.eye(6) * 0.05),
+                p_v, odom_identity=SE3.identity())
+            vstep = jax.jit(lambda s, p, m: update(
+                p_v, models_v, ctx_v,
+                s._replace(force_update=jnp.asarray(True)),
+                SE3.identity(), p, m))
+            for _ in range(3):
+                sv, _ = vstep(sv, pts_v, mask_v)
+            jax.block_until_ready(sv)
+            t0 = time.perf_counter()
+            for _ in range(8):
+                sv, _ = vstep(sv, pts_v, mask_v)
+            jax.block_until_ready(sv)
+            d = max((time.perf_counter() - t0) / 8 - floor, 1e-9)
+            log(f"VDB 3D config#4 1x{n_v}x80pts: {d*1e3:.2f} ms/update "
+                f"({n_v / d:.3e} particle-updates/s)")
+        except Exception as e:  # noqa: BLE001
+            log(f"VDB secondary skipped: {type(e).__name__}: {e}")
+
     # secondary (stderr only): the mega-particle configuration — one filter
     # with 262144 particles, globally stratified systematic resampling
     if remaining() > 120:
