@@ -39,6 +39,9 @@ Array = jax.Array
 _CHUNK = 512  # positions per inner step
 _MBLK = 8192  # positions per pallas program (the grid axis)
 _NBLK = 2048  # particle-axis block (bounds the [NBLK, C] interval mask)
+# value planes larger than this stay in HBM (kernel DMAs per-block slices);
+# v5e VMEM is 128 MiB and the CDF/output tiles need their share
+_VMEM_VALS_LIMIT = 48 << 20
 
 
 def trunc_bf16(x: Array) -> Array:
@@ -157,6 +160,62 @@ def _make_kernel(n_real: int):
     return _kernel
 
 
+def _make_kernel_huge(n_real: int):
+    """Like :func:`_make_kernel`, but the value planes stay in HBM and each
+    touched particle block is DMA'd into a VMEM scratch: beyond ~2M
+    particles the whole ``[3D, N]`` bf16 table exceeds VMEM (128 MiB on
+    v5e) and the whole-array block spec is uncompilable."""
+
+    def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref,
+                vblk_ref, sem):
+        n = cdf_ref.shape[1]
+        d3 = vblk_ref.shape[0]
+        d = d3 // 3
+        m = u_ref.shape[1]
+        n_blocks = n // _NBLK
+        bounds = bounds_ref[0, :][None, :]
+
+        def chunk(c, _):
+            u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
+            u_min = jnp.min(u)
+            u_max = jnp.max(u)
+            lob = jnp.sum((bounds < u_min).astype(jnp.int32))
+            hib = jnp.minimum(
+                jnp.sum((bounds <= u_max).astype(jnp.int32)) + 1, n_blocks
+            )
+
+            def nblock(b, acc):
+                cdf_b = cdf_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
+                prev_b = cdf_prev_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
+                gidx = b * _NBLK + jax.lax.broadcasted_iota(
+                    jnp.int32, (_NBLK, 1), 0
+                )
+                is_last = gidx == n_real - 1
+                mask = (u >= prev_b) & ((u < cdf_b) | is_last)  # [NBLK, C]
+                cp = pltpu.make_async_copy(
+                    vals_ref.at[:, pl.ds(b * _NBLK, _NBLK)], vblk_ref, sem
+                )
+                cp.start()
+                cp.wait()
+                vals_b = vblk_ref[...]
+                return acc + jnp.dot(
+                    vals_b, mask.astype(vals_b.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+
+            picked = jax.lax.fori_loop(
+                lob, hib, nblock, jnp.zeros((d3, _CHUNK), jnp.float32)
+            )  # [3D, C]
+            out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
+                picked[:d] + picked[d : 2 * d] + picked[2 * d :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+
+    return _kernel
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def resample_take(
     weights: Array, positions: Array, values: Array, interpret: bool = False
@@ -212,15 +271,24 @@ def resample_take(
     n_blocks = n_pad // _NBLK
     bounds = cdf.reshape(n_blocks, _NBLK)[:, -1]
     small = n_pad <= 2 * _NBLK
+    # beyond ~2M particles the whole [3D, N] value table exceeds VMEM —
+    # keep it in HBM and let the kernel DMA per-block slices
+    huge = 3 * d_pad * n_pad * vals3.dtype.itemsize > _VMEM_VALS_LIMIT
+    if small:
+        kernel = _make_kernel_small(n)
+    elif huge:
+        kernel = _make_kernel_huge(n)
+    else:
+        kernel = _make_kernel(n)
     out = pl.pallas_call(
-        _make_kernel_small(n) if small else _make_kernel(n),
+        kernel,
         grid=(mg // mblk,),
         in_specs=[
             pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mblk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_blocks), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
+            pl.BlockSpec(memory_space=pl.ANY) if huge else pl.BlockSpec(
                 (3 * d_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
@@ -228,6 +296,10 @@ def resample_take(
             (d_pad, mblk), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((d_pad, mg), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3 * d_pad, _NBLK), vals3.dtype),
+            pltpu.SemaphoreType.DMA,
+        ] if huge else [],
         interpret=interpret,
     )(cdf[None, :], cdf_prev[None, :], positions[None, :], bounds[None, :], vals3)
     return out[:d, :m].T

@@ -143,6 +143,29 @@ class TestPallasResample:
         idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
         np.testing.assert_array_equal(np.asarray(got), vals[:, idx].T)
 
+    def test_huge_path_matches_vmem_kernel(self, monkeypatch):
+        """The HBM-resident value-plane variant (particle counts whose
+        [3D, N] table exceeds VMEM) is bit-exact with the VMEM kernel;
+        forced here via a tiny threshold.  (The oracle is the kernel
+        itself, not numpy searchsorted: the backend's f32 cumsum can
+        differ from numpy's by 1 ulp at scan boundaries, legitimately
+        shifting a handful of donors.)"""
+        import beluga_tpu.ops.pallas_resample as pr
+
+        rng = np.random.default_rng(3)
+        n, m, d = 6144, 3000, 4  # > 2*_NBLK so the big-N path is taken
+        w = rng.random(n).astype(np.float32)
+        w[5000:] = 0.0
+        u = np.sort(rng.random(m).astype(np.float32))
+        args = (jnp.asarray(w), jnp.asarray(u),
+                jnp.asarray((rng.standard_normal((d, n)) * 10)
+                            .astype(np.float32)))
+        ref = np.asarray(pr.resample_take(*args, interpret=True))
+        monkeypatch.setattr(pr, "_VMEM_VALS_LIMIT", 1 << 10)
+        jax.clear_caches()  # drop the traced non-huge variant
+        got = np.asarray(pr.resample_take(*args, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
     def test_tree_roundtrip_and_vmap(self):
         from beluga_tpu.lie import SE2
         from beluga_tpu.ops.pallas_resample import resample_take_tree
