@@ -123,6 +123,25 @@ def _kernel_likelihood(ndt_map: NdtMap, params, meas_mean, meas_cov, kernel):
     return jnp.sum(jnp.where(found, lik, 0.0), axis=-1)
 
 
+def _chunked_over_particles(states, n, particle_chunk, body):
+    """Apply ``body(chunk_states) -> f32[ck]`` over particle chunks via
+    ``lax.map``: the per-(particle, cell, kernel-offset) probe
+    intermediates are workspace-bounded, so fleets (an extra vmapped
+    batch axis) don't materialize the full [B, N, C, K] tensors (~18 GB
+    at 64x4096x60x9 — past HBM)."""
+    ck = min(particle_chunk, n)
+    n_pad = -(-n // ck) * ck
+
+    def pad(leaf):
+        widths = [(0, n_pad - n)] + [(0, 0)] * (leaf.ndim - 1)
+        return jnp.pad(leaf, widths, mode="edge")
+
+    stc = jax.tree_util.tree_map(
+        lambda l: pad(l).reshape(n_pad // ck, ck, *l.shape[1:]), states
+    )
+    return jax.lax.map(body, stc).reshape(n_pad)[:n]
+
+
 def ndt_weights_2d(
     params: NdtModelParams,
     ndt_map: NdtMap,
@@ -130,27 +149,34 @@ def ndt_weights_2d(
     meas_means: Array,
     meas_covs: Array,
     cell_mask: Array,
+    particle_chunk: int = 512,
 ) -> Array:
     """Per-particle weights ``1.0 + Σ_cells max(kernel_lik, min_lik)``
     (hpp:218-239); ``f32[N]``."""
-    # transform measurement cells by each particle state (ndt_cell.hpp:63-68)
-    c, s = states.rot.cos[:, None], states.rot.sin[:, None]
-    mx = meas_means[None, :, 0]
-    my = meas_means[None, :, 1]
-    tx = c * mx - s * my + states.x[:, None]
-    ty = s * mx + c * my + states.y[:, None]
-    mean_w = jnp.stack([tx, ty], -1)  # [N, C, 2]
 
-    rot = jnp.stack(
-        [jnp.stack([states.rot.cos, -states.rot.sin], -1),
-         jnp.stack([states.rot.sin, states.rot.cos], -1)],
-        -2,
-    )  # [N, 2, 2]
-    cov_w = jnp.einsum("nab,cbd,ned->ncae", rot, meas_covs, rot)  # R Σ Rᵀ [N, C, 2, 2]
+    def body(st):
+        # transform measurement cells by each particle state
+        # (ndt_cell.hpp:63-68)
+        c, s = st.rot.cos[:, None], st.rot.sin[:, None]
+        mx = meas_means[None, :, 0]
+        my = meas_means[None, :, 1]
+        tx = c * mx - s * my + st.x[:, None]
+        ty = s * mx + c * my + st.y[:, None]
+        mean_w = jnp.stack([tx, ty], -1)  # [ck, C, 2]
 
-    lik = _kernel_likelihood(ndt_map, params, mean_w, cov_w, KERNEL_2D)  # [N, C]
-    lik = jnp.maximum(lik, params.minimum_likelihood)
-    return 1.0 + jnp.sum(jnp.where(cell_mask[None, :], lik, 0.0), axis=-1)
+        rot = jnp.stack(
+            [jnp.stack([st.rot.cos, -st.rot.sin], -1),
+             jnp.stack([st.rot.sin, st.rot.cos], -1)],
+            -2,
+        )  # [ck, 2, 2]
+        cov_w = jnp.einsum("nab,cbd,ned->ncae", rot, meas_covs, rot)
+
+        lik = _kernel_likelihood(ndt_map, params, mean_w, cov_w, KERNEL_2D)
+        lik = jnp.maximum(lik, params.minimum_likelihood)
+        return 1.0 + jnp.sum(jnp.where(cell_mask[None, :], lik, 0.0), axis=-1)
+
+    return _chunked_over_particles(states, states.x.shape[0], particle_chunk,
+                                   body)
 
 
 def ndt_weights_3d(
@@ -160,17 +186,23 @@ def ndt_weights_3d(
     meas_means: Array,
     meas_covs: Array,
     cell_mask: Array,
+    particle_chunk: int = 512,
 ) -> Array:
     """3D variant over SE3 states; ``f32[N]``."""
-    rot = states.rot.as_matrix()  # [N, 3, 3]
-    mean_w = (
-        jnp.einsum("nab,cb->nca", rot, meas_means) + states.xyz[:, None, :]
-    )  # [N, C, 3]
-    cov_w = jnp.einsum("nab,cbd,ned->ncae", rot, meas_covs, rot)
 
-    lik = _kernel_likelihood(ndt_map, params, mean_w, cov_w, KERNEL_3D)
-    lik = jnp.maximum(lik, params.minimum_likelihood)
-    return 1.0 + jnp.sum(jnp.where(cell_mask[None, :], lik, 0.0), axis=-1)
+    def body(st):
+        rot = st.rot.as_matrix()  # [ck, 3, 3]
+        mean_w = (
+            jnp.einsum("nab,cb->nca", rot, meas_means) + st.xyz[:, None, :]
+        )  # [ck, C, 3]
+        cov_w = jnp.einsum("nab,cbd,ned->ncae", rot, meas_covs, rot)
+
+        lik = _kernel_likelihood(ndt_map, params, mean_w, cov_w, KERNEL_3D)
+        lik = jnp.maximum(lik, params.minimum_likelihood)
+        return 1.0 + jnp.sum(jnp.where(cell_mask[None, :], lik, 0.0), axis=-1)
+
+    return _chunked_over_particles(states, states.xyz.shape[0],
+                                   particle_chunk, body)
 
 
 def ndt_likelihood_at(params: NdtModelParams, ndt_map: NdtMap, mean: Array, cov: Array):

@@ -113,3 +113,54 @@ class TestNdtFilter3d:
         moved = SE3(jnp.asarray([0.5, 0.0, 0.0]), SO3.identity())
         state, est = update(params, models, ctx, state, moved, pts, mask)
         assert bool(est.valid)
+
+
+def test_ndt_fleet_update_bounded_memory():
+    """Fleets vmap the NDT reweight; the particle-chunked probe keeps the
+    [B, N, C, K] intermediates workspace-bounded (regression: the
+    unchunked form OOMed at fleet scale)."""
+    import numpy as np
+
+    from beluga_tpu.core.random import sample_normal_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state
+    from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d
+    from beluga_tpu.maps.ndt import load_ndt_hdf5
+    from beluga_tpu.parallel.fleet import make_fleet_update
+
+    nm = load_ndt_hdf5(
+        "/root/reference/beluga/test/beluga/test_data/turtlebot3_world.hdf5")
+    models, ctx = make_ndt_filter_2d(nm)
+    b, n, p = 4, 1024, 24
+    params = AmclParams(max_particles=n, min_particles=n)
+    rng = np.random.default_rng(0)
+    true = (-1.7, 0.5, 0.2)
+    mu = np.asarray(nm.means)
+    near = np.isfinite(mu).all(1) & (
+        np.linalg.norm(mu - np.asarray(true[:2]), axis=1) < 3.0)
+    sel = mu[near][rng.integers(0, near.sum(), p)]
+    cy, sy = np.cos(true[2]), np.sin(true[2])
+    local = (sel - np.asarray(true[:2])) @ np.array([[cy, -sy], [sy, cy]])
+    pts = jnp.asarray(np.broadcast_to(
+        (local + rng.normal(0, 0.01, local.shape)).astype(np.float32),
+        (b, p, 2)))
+    mask = jnp.ones((b, p), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        st = sample_normal_se2(
+            k1, n, SE2.from_xytheta(*true),
+            jnp.diag(jnp.asarray([0.05, 0.05, 0.02], jnp.float32)))
+        return init_state(k2, st, params)
+
+    state = jax.vmap(one)(keys)
+    odom = SE2.from_xytheta(jnp.full((b,), true[0]), jnp.full((b,), true[1]),
+                            jnp.full((b,), true[2]))
+    fstep = jax.jit(make_fleet_update(params, models))
+    for _ in range(3):
+        state = state._replace(force_update=jnp.ones(b, bool))
+        state, est = fstep(ctx, state, odom, pts, mask)
+    err = np.hypot(np.asarray(est.pose.x) - true[0],
+                   np.asarray(est.pose.y) - true[1])
+    assert err.max() < 0.3, err
+    assert np.isfinite(np.asarray(state.particles.log_weight)).all()
