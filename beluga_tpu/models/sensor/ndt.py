@@ -105,11 +105,20 @@ def _inv_3x3(m: Array) -> Array:
     return adj
 
 
+# map tables at most this many rows take the dense cross-evaluation: with
+# few cells, testing EVERY (query, map cell) pair beats per-offset key
+# probes (no lookup at all, pure fused elementwise XLA) — reference-class
+# NDT maps have tens to hundreds of cells
+_DENSE_MAX_CELLS = 256
+
+
 def _kernel_likelihood(ndt_map: NdtMap, params, meas_mean, meas_cov, kernel):
     """Σ over kernel offsets of d1·exp(-d2/2 eᵀ(Σa+Σb)⁻¹e) per query Gaussian.
 
     meas_mean: ``f32[..., D]``; meas_cov: ``f32[..., D, D]``.
     """
+    if ndt_map.keys.shape[0] <= _DENSE_MAX_CELLS:
+        return _kernel_likelihood_dense(ndt_map, params, meas_mean, meas_cov)
     d = meas_mean.shape[-1]
     center = ndt_map.cell_near(meas_mean)  # [..., D]
     cells = center[..., None, :] + jnp.asarray(kernel)  # [..., K, D]
@@ -121,6 +130,57 @@ def _kernel_likelihood(ndt_map: NdtMap, params, meas_mean, meas_cov, kernel):
     quad = jnp.einsum("...i,...ij,...j->...", err, inv, err)
     lik = params.d1 * jnp.exp((-params.d2 / 2.0) * quad)
     return jnp.sum(jnp.where(found, lik, 0.0), axis=-1)
+
+
+def _kernel_likelihood_dense(ndt_map: NdtMap, params, meas_mean, meas_cov):
+    """Small-map form: evaluate every (query, map cell) pair and mask by
+    the stencil — cell_j contributes iff it lies in the query's kernel
+    neighborhood (2D: the full 3x3, |Δ|∞ <= 1; 3D: center + 6 faces,
+    |Δ|₁ <= 1 — exactly KERNEL_2D/KERNEL_3D).  Same per-pair math as the
+    probe path with exact f32 map values."""
+    from beluga_tpu.maps.ndt import _BIAS2, _BIAS3, _BITS3
+
+    d = meas_mean.shape[-1]
+    keys = ndt_map.keys
+    mp = keys.shape[0]
+    live = jnp.arange(mp) < ndt_map.num_cells
+    if d == 2:
+        cx = (keys >> 16).astype(jnp.int32) - _BIAS2
+        cy = (keys & jnp.uint32(0xFFFF)).astype(jnp.int32) - _BIAS2
+        cells = jnp.stack([cx, cy], -1)  # [M, 2]
+    else:
+        m = jnp.uint32((1 << _BITS3) - 1)
+        cells = jnp.stack(
+            [((keys >> (2 * _BITS3)) & m).astype(jnp.int32) - _BIAS3,
+             ((keys >> _BITS3) & m).astype(jnp.int32) - _BIAS3,
+             (keys & m).astype(jnp.int32) - _BIAS3], -1)  # [M, 3]
+    qcell = ndt_map.cell_near(meas_mean)  # [..., D]
+    delta = jnp.abs(qcell[..., None, :] - cells)  # [..., M, D]
+    if d == 2:
+        within = jnp.max(delta, axis=-1) <= 1
+    else:
+        within = jnp.sum(delta, axis=-1) <= 1
+    within = within & live
+
+    if d == 2:
+        # scalarized symmetric 2x2 algebra: trailing [2, 2] tensor dims
+        # lay out on 2-lane vregs (2/128 utilization) — component arrays
+        # keep everything on [..., M] shapes.  Same det guard as _inv_2x2.
+        ex = meas_mean[..., 0, None] - ndt_map.means[:, 0]  # [..., M]
+        ey = meas_mean[..., 1, None] - ndt_map.means[:, 1]
+        txx = meas_cov[..., 0, 0, None] + ndt_map.covs[:, 0, 0]
+        txy = meas_cov[..., 0, 1, None] + ndt_map.covs[:, 0, 1]
+        tyy = meas_cov[..., 1, 1, None] + ndt_map.covs[:, 1, 1]
+        det = txx * tyy - txy * txy
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        quad = (ex * ex * tyy - 2.0 * ex * ey * txy + ey * ey * txx) / det
+    else:
+        err = meas_mean[..., None, :] - ndt_map.means  # [..., M, D]
+        total_cov = meas_cov[..., None, :, :] + ndt_map.covs
+        inv = _inv_3x3(total_cov)
+        quad = jnp.einsum("...i,...ij,...j->...", err, inv, err)
+    lik = params.d1 * jnp.exp((-params.d2 / 2.0) * quad)
+    return jnp.sum(jnp.where(within, lik, 0.0), axis=-1)
 
 
 def _chunked_over_particles(states, n, particle_chunk, body):

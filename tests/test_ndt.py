@@ -193,3 +193,36 @@ def test_lookup_gaussians_onehot_matches_gather():
         np.asarray(om)[np.asarray(of)], np.asarray(gm)[np.asarray(gf)], atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(oc)[np.asarray(of)], np.asarray(gc)[np.asarray(gf)], atol=1e-4)
+
+
+def test_dense_and_probe_kernel_paths_agree():
+    """The small-map dense cross-evaluation equals the per-offset probe
+    path (same stencil, same per-pair math) for 2D and 3D."""
+    import beluga_tpu.models.sensor.ndt as ndt_mod
+    from beluga_tpu.maps.ndt import make_ndt_map
+    from beluga_tpu.models.sensor.ndt import (
+        KERNEL_2D, KERNEL_3D, NdtModelParams, _kernel_likelihood,
+        _kernel_likelihood_dense)
+
+    rng = np.random.default_rng(0)
+    params = NdtModelParams()
+    for d, kern in ((2, KERNEL_2D), (3, KERNEL_3D)):
+        cells = rng.integers(-6, 6, (40, d))
+        cells = np.unique(cells, axis=0)
+        means = (cells + rng.uniform(0.2, 0.8, cells.shape)) * 0.5
+        covs = np.broadcast_to(np.eye(d) * 0.02, (len(cells), d, d))
+        nm = make_ndt_map(cells, means, covs, 0.5)
+        q_mean = jnp.asarray(
+            rng.uniform(-3, 3, (25, d)).astype(np.float32))
+        q_cov = jnp.broadcast_to(
+            jnp.eye(d, dtype=jnp.float32) * 0.01, (25, d, d))
+        dense = _kernel_likelihood_dense(nm, params, q_mean, q_cov)
+        try:
+            ndt_mod._DENSE_MAX_CELLS = 0  # force the probe path
+            probe = _kernel_likelihood(nm, params, q_mean, q_cov, kern)
+        finally:
+            ndt_mod._DENSE_MAX_CELLS = 256
+        np.testing.assert_allclose(
+            np.asarray(dense), np.asarray(probe), rtol=1e-5, atol=1e-8,
+            err_msg=f"d={d}")
+        assert float(jnp.max(dense)) > 0.0  # some queries actually match
