@@ -425,6 +425,65 @@ def phase_sync() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"VDB secondary skipped: {type(e).__name__}: {e}")
 
+    # secondary (stderr only): NDT fleet (dense small-map evaluation) on
+    # the reference turtlebot3_world NDT map
+    if remaining() > 90:
+        try:
+            import jax.numpy as jnp
+
+            from beluga_tpu.core.random import sample_normal_se2
+            from beluga_tpu.filters.amcl import AmclParams, init_state
+            from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d
+            from beluga_tpu.lie import SE2
+            from beluga_tpu.maps.ndt import load_ndt_hdf5
+            from beluga_tpu.parallel.fleet import make_fleet_update
+
+            nm = load_ndt_hdf5("/root/reference/beluga/test/beluga/"
+                               "test_data/turtlebot3_world.hdf5")
+            models_n, ctx_n = make_ndt_filter_2d(nm)
+            p_n = AmclParams(max_particles=NPART, min_particles=NPART)
+            rng_n = np.random.default_rng(0)
+            true_n = (-1.7, 0.5, 0.2)
+            mu = np.asarray(nm.means)
+            near = np.isfinite(mu).all(1) & (
+                np.linalg.norm(mu - np.asarray(true_n[:2]), axis=1) < 3.0)
+            sel = mu[near][rng_n.integers(0, near.sum(), BEAMS)]
+            cyn, syn = np.cos(true_n[2]), np.sin(true_n[2])
+            loc = (sel - np.asarray(true_n[:2])) @ np.array(
+                [[cyn, -syn], [syn, cyn]])
+            pts_n = jnp.asarray(np.broadcast_to(
+                (loc + rng_n.normal(0, 0.01, loc.shape)).astype(np.float32),
+                (BATCH, BEAMS, 2)))
+            mask_n = jnp.ones((BATCH, BEAMS), bool)
+            keys_n = jax.random.split(jax.random.PRNGKey(0), BATCH)
+
+            def one_n(key):
+                k1, k2 = jax.random.split(key)
+                st = sample_normal_se2(
+                    k1, NPART, SE2.from_xytheta(*true_n),
+                    jnp.diag(jnp.asarray([0.05, 0.05, 0.02], jnp.float32)))
+                return init_state(k2, st, p_n)
+
+            sn = jax.vmap(one_n)(keys_n)
+            od_n = SE2.from_xytheta(
+                jnp.full((BATCH,), true_n[0]), jnp.full((BATCH,), true_n[1]),
+                jnp.full((BATCH,), true_n[2]))
+            nstep = jax.jit(make_fleet_update(p_n, models_n))
+            for _ in range(3):
+                sn = sn._replace(force_update=jnp.ones(BATCH, bool))
+                sn, _ = nstep(ctx_n, sn, od_n, pts_n, mask_n)
+            jax.block_until_ready(sn)
+            t0 = time.perf_counter()
+            for _ in range(8):
+                sn = sn._replace(force_update=jnp.ones(BATCH, bool))
+                sn, _ = nstep(ctx_n, sn, od_n, pts_n, mask_n)
+            jax.block_until_ready(sn)
+            d = max((time.perf_counter() - t0) / 8 - floor, 1e-9)
+            log(f"NDT fleet {BATCH}x{NPART}x{BEAMS}: {d*1e3:.2f} ms/step "
+                f"({BATCH * NPART / d:.3e} particle-updates/s)")
+        except Exception as e:  # noqa: BLE001
+            log(f"NDT secondary skipped: {type(e).__name__}: {e}")
+
     # secondary (stderr only): the mega-particle configuration — one filter
     # with 262144 particles, globally stratified systematic resampling
     if remaining() > 120:
