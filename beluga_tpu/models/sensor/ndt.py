@@ -175,10 +175,26 @@ def _kernel_likelihood_dense(ndt_map: NdtMap, params, meas_mean, meas_cov):
         det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         quad = (ex * ex * tyy - 2.0 * ex * ey * txy + ey * ey * txx) / det
     else:
-        err = meas_mean[..., None, :] - ndt_map.means  # [..., M, D]
-        total_cov = meas_cov[..., None, :, :] + ndt_map.covs
-        inv = _inv_3x3(total_cov)
-        quad = jnp.einsum("...i,...ij,...j->...", err, inv, err)
+        # symmetric 3x3 closed form (adjugate), same layout rationale
+        ex = meas_mean[..., 0, None] - ndt_map.means[:, 0]
+        ey = meas_mean[..., 1, None] - ndt_map.means[:, 1]
+        ez = meas_mean[..., 2, None] - ndt_map.means[:, 2]
+        xx = meas_cov[..., 0, 0, None] + ndt_map.covs[:, 0, 0]
+        xy = meas_cov[..., 0, 1, None] + ndt_map.covs[:, 0, 1]
+        xz = meas_cov[..., 0, 2, None] + ndt_map.covs[:, 0, 2]
+        yy = meas_cov[..., 1, 1, None] + ndt_map.covs[:, 1, 1]
+        yz = meas_cov[..., 1, 2, None] + ndt_map.covs[:, 1, 2]
+        zz = meas_cov[..., 2, 2, None] + ndt_map.covs[:, 2, 2]
+        c00 = yy * zz - yz * yz
+        c01 = xz * yz - xy * zz
+        c02 = xy * yz - xz * yy
+        c11 = xx * zz - xz * xz
+        c12 = xy * xz - xx * yz
+        c22 = xx * yy - xy * xy
+        det = xx * c00 + xy * c01 + xz * c02
+        det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+        quad = (ex * ex * c00 + ey * ey * c11 + ez * ez * c22
+                + 2.0 * (ex * ey * c01 + ex * ez * c02 + ey * ez * c12)) / det
     lik = params.d1 * jnp.exp((-params.d2 / 2.0) * quad)
     return jnp.sum(jnp.where(within, lik, 0.0), axis=-1)
 
