@@ -149,6 +149,40 @@ def drive_trajectory(
     return out
 
 
+def replay_on_device(params, models, ctx, state, odoms_xyt, points, masks):
+    """Replay a whole recorded stream as ONE device program.
+
+    ``lax.scan`` drives ``filters.amcl.update`` over preloaded per-step
+    arrays, so the host pays a single dispatch for the full trajectory
+    instead of one roundtrip per scan — on tunneled/remote backends that
+    removes the ~ms dispatch floor from every step (the reference's bag
+    replay is host-driven by necessity; an XLA filter loop is not).
+
+    Args:
+      odoms_xyt: ``f32[T, 3]`` odometry (x, y, yaw) per scan.
+      points: ``f32[T, B, 2]`` scan points in the base frame.
+      masks: ``bool[T, B]`` valid-beam masks.
+    Returns:
+      ``(final_state, estimates)`` with every Estimate leaf stacked to
+      ``[T, ...]`` (``valid`` marks the steps that produced an update).
+    """
+    import functools
+
+    from beluga_tpu.filters.amcl import update
+
+    step = functools.partial(update, params, models, ctx)
+
+    def body(st, inp):
+        xyt, pts, mask = inp
+        st, est = step(st, SE2.from_xytheta(xyt[0], xyt[1], xyt[2]), pts, mask)
+        return st, est
+
+    odoms_xyt = jnp.asarray(odoms_xyt, jnp.float32)
+    return jax.lax.scan(
+        body, state, (odoms_xyt, jnp.asarray(points), jnp.asarray(masks))
+    )
+
+
 def replay(
     update_fn: Callable,
     state,

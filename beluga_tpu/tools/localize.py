@@ -27,7 +27,8 @@ import sys
 import numpy as np
 
 
-def run(map_yaml, input_npz, output_npz=None, params_yaml=None, initial_pose=None):
+def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
+        initial_pose=None, scan_driven=False):
     from beluga_tpu.io.config import AmclNodeConfig, load_config
     from beluga_tpu.maps.occupancy import load_pgm_yaml
     from beluga_tpu.node import AmclNode
@@ -61,21 +62,68 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None, initial_pose=Non
     else:
         node.global_localization()
 
-    recorder = LatencyRecorder()
-    est, est_idx = [], []
-    for t in range(len(odom)):
-        with recorder.measure():
-            res = node.handle_laser_scan(
-                odom[t], scans[t], angle_min, angle_inc, range_min, range_max
-            )
-        if res.valid:
-            est.append(res.pose)
-            est_idx.append(t)
+    if scan_driven:
+        # one device program for the whole stream: host prepares every
+        # scan up front (the same native adapter work the per-scan path
+        # does), then lax.scan drives the filter — no per-scan dispatch
+        import time as _time
 
-    est = np.asarray(est)
-    est_idx = np.asarray(est_idx, np.int64)
-    summary = {"updates": int(len(est)), "scans": int(len(odom)),
-               "latency": recorder.summary()}
+        import jax
+        import jax.numpy as jnp
+
+        from beluga_tpu.io import native as _native
+        from beluga_tpu.io.replay import replay_on_device
+
+        t_prep = _time.monotonic()
+        mb = cfg.max_beams
+        pts_all = np.zeros((len(odom), mb, 2), np.float32)
+        mask_all = np.zeros((len(odom), mb), bool)
+        for t in range(len(odom)):
+            pf, mf = _native.scan_to_points(
+                scans[t], angle_min, angle_inc, range_min, range_max,
+                (0.0, 0.0, 0.0),
+            )
+            idx = _native.take_evenly_indices(len(scans[t]), mb)
+            pts_all[t, : len(idx)] = pf[idx]
+            mask_all[t, : len(idx)] = mf[idx]
+        prep_s = _time.monotonic() - t_prep
+
+        runner = jax.jit(lambda st, o, p, m: replay_on_device(
+            node.params, node._models, node._ctx, st, o, p, m))
+        t0 = _time.monotonic()
+        _, ests = runner(node._state, odom.astype(np.float32),
+                         pts_all, mask_all)
+        jax.block_until_ready(ests)
+        wall = _time.monotonic() - t0
+        valid = np.asarray(ests.valid)
+        est_idx = np.nonzero(valid)[0].astype(np.int64)
+        est = np.stack(
+            [np.asarray(ests.pose.x), np.asarray(ests.pose.y),
+             np.asarray(ests.pose.theta)], -1)[est_idx]
+        summary = {
+            "updates": int(len(est)), "scans": int(len(odom)),
+            "latency": {"mode": "scan_driven",
+                        "device_wall_s": round(wall, 3),
+                        "per_scan_ms": round(wall / len(odom) * 1e3, 3),
+                        "host_prep_s": round(prep_s, 3)},
+        }
+    else:
+        recorder = LatencyRecorder()
+        est, est_idx = [], []
+        for t in range(len(odom)):
+            with recorder.measure():
+                res = node.handle_laser_scan(
+                    odom[t], scans[t], angle_min, angle_inc, range_min,
+                    range_max,
+                )
+            if res.valid:
+                est.append(res.pose)
+                est_idx.append(t)
+
+        est = np.asarray(est)
+        est_idx = np.asarray(est_idx, np.int64)
+        summary = {"updates": int(len(est)), "scans": int(len(odom)),
+                   "latency": recorder.summary()}
     if "ground_truth" in data and len(est):
         gt = np.asarray(data["ground_truth"], np.float64)[est_idx]
         summary["ape"] = ape(est, gt)
@@ -96,6 +144,9 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="trajectory output .npz")
     p.add_argument("--initial-pose", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "YAW"))
+    p.add_argument("--scan-driven", action="store_true",
+                   help="replay the whole stream as one on-device lax.scan "
+                        "program (no per-scan host dispatch)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                    help="force the JAX backend (some environments "
                         "pre-register a TPU plugin that wins over the "
@@ -106,7 +157,8 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    summary = run(args.map, args.input, args.output, args.params, args.initial_pose)
+    summary = run(args.map, args.input, args.output, args.params,
+                  args.initial_pose, scan_driven=args.scan_driven)
     print(json.dumps(summary, indent=2))
 
 
