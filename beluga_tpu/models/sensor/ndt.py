@@ -117,9 +117,14 @@ def _kernel_likelihood(ndt_map: NdtMap, params, meas_mean, meas_cov, kernel):
 
     meas_mean: ``f32[..., D]``; meas_cov: ``f32[..., D, D]``.
     """
-    if ndt_map.keys.shape[0] <= _DENSE_MAX_CELLS:
-        return _kernel_likelihood_dense(ndt_map, params, meas_mean, meas_cov)
     d = meas_mean.shape[-1]
+    # the dense path hardcodes the standard stencils — only dispatch to
+    # it when the caller's kernel IS that stencil
+    standard = np.array_equal(
+        np.asarray(kernel), KERNEL_2D if d == 2 else KERNEL_3D
+    )
+    if standard and ndt_map.keys.shape[0] <= _DENSE_MAX_CELLS:
+        return _kernel_likelihood_dense(ndt_map, params, meas_mean, meas_cov)
     center = ndt_map.cell_near(meas_mean)  # [..., D]
     cells = center[..., None, :] + jnp.asarray(kernel)  # [..., K, D]
     map_mean, map_cov, found = ndt_map.lookup_gaussians(cells)  # [..., K, ...]
@@ -175,16 +180,22 @@ def _kernel_likelihood_dense(ndt_map: NdtMap, params, meas_mean, meas_cov):
         det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         quad = (ex * ex * tyy - 2.0 * ex * ey * txy + ey * ey * txx) / det
     else:
-        # symmetric 3x3 closed form (adjugate), same layout rationale
+        # symmetric 3x3 closed form (adjugate), same layout rationale.
+        # The diagonal jitter mirrors _inv_3x3 (the probe path): rank-
+        # deficient NDT cells (planar/linear features) summed with a
+        # measurement covariance degenerate in the same direction give a
+        # SINGULAR total — the bare adjugate would collapse quad to ~0
+        # (max likelihood for arbitrarily wrong particles), and a
+        # slightly-negative rounding det would flip exp()'s sign.
         ex = meas_mean[..., 0, None] - ndt_map.means[:, 0]
         ey = meas_mean[..., 1, None] - ndt_map.means[:, 1]
         ez = meas_mean[..., 2, None] - ndt_map.means[:, 2]
-        xx = meas_cov[..., 0, 0, None] + ndt_map.covs[:, 0, 0]
+        xx = meas_cov[..., 0, 0, None] + ndt_map.covs[:, 0, 0] + 1e-12
         xy = meas_cov[..., 0, 1, None] + ndt_map.covs[:, 0, 1]
         xz = meas_cov[..., 0, 2, None] + ndt_map.covs[:, 0, 2]
-        yy = meas_cov[..., 1, 1, None] + ndt_map.covs[:, 1, 1]
+        yy = meas_cov[..., 1, 1, None] + ndt_map.covs[:, 1, 1] + 1e-12
         yz = meas_cov[..., 1, 2, None] + ndt_map.covs[:, 1, 2]
-        zz = meas_cov[..., 2, 2, None] + ndt_map.covs[:, 2, 2]
+        zz = meas_cov[..., 2, 2, None] + ndt_map.covs[:, 2, 2] + 1e-12
         c00 = yy * zz - yz * yz
         c01 = xz * yz - xy * zz
         c02 = xy * yz - xz * yy
@@ -192,9 +203,11 @@ def _kernel_likelihood_dense(ndt_map: NdtMap, params, meas_mean, meas_cov):
         c12 = xy * xz - xx * yz
         c22 = xx * yy - xy * xy
         det = xx * c00 + xy * c01 + xz * c02
-        det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+        # PSD + jitter: det > 0; the floor only guards f32 underflow
+        det = jnp.maximum(det, 1e-30)
         quad = (ex * ex * c00 + ey * ey * c11 + ez * ez * c22
                 + 2.0 * (ex * ey * c01 + ex * ez * c02 + ey * ez * c12)) / det
+        quad = jnp.maximum(quad, 0.0)
     lik = params.d1 * jnp.exp((-params.d2 / 2.0) * quad)
     return jnp.sum(jnp.where(within, lik, 0.0), axis=-1)
 

@@ -241,6 +241,25 @@ class AmclNode:
         (beluga_ros/laser_scan.hpp + amcl_node.cpp:537-551) — then runs the
         filter update.  Beam capacity is fixed at ``config.max_beams``.
         """
+        pts, mask = self.prepare_scan(
+            ranges, angle_min, angle_increment, range_min, range_max,
+            sensor_pose,
+        )
+        return self.handle_scan(odom_pose_xytheta, pts, mask)
+
+    def prepare_scan(
+        self,
+        ranges,
+        angle_min: float,
+        angle_increment: float,
+        range_min: float | None = None,
+        range_max: float | None = None,
+        sensor_pose=(0.0, 0.0, 0.0),
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """The scan adapter work alone: polar→cartesian, sensor-frame
+        transform, range filtering, ``max_beams`` take-evenly decimation,
+        padding to the static beam capacity.  Shared by the per-scan path
+        above and the offline scan-driven replay (tools/localize.py)."""
         from beluga_tpu.io import native as _native
 
         cfg = self.config
@@ -259,7 +278,7 @@ class AmclNode:
         mask = np.zeros(cfg.max_beams, bool)
         pts[: len(idx)] = pts_full[idx]
         mask[: len(idx)] = mask_full[idx]
-        return self.handle_scan(odom_pose_xytheta, pts, mask)
+        return pts, mask
 
     # -- introspection (particle_cloud publishers analog) -------------------
 

@@ -69,9 +69,7 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
         import time as _time
 
         import jax
-        import jax.numpy as jnp
 
-        from beluga_tpu.io import native as _native
         from beluga_tpu.io.replay import replay_on_device
 
         t_prep = _time.monotonic()
@@ -79,13 +77,9 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
         pts_all = np.zeros((len(odom), mb, 2), np.float32)
         mask_all = np.zeros((len(odom), mb), bool)
         for t in range(len(odom)):
-            pf, mf = _native.scan_to_points(
-                scans[t], angle_min, angle_inc, range_min, range_max,
-                (0.0, 0.0, 0.0),
+            pts_all[t], mask_all[t] = node.prepare_scan(
+                scans[t], angle_min, angle_inc, range_min, range_max
             )
-            idx = _native.take_evenly_indices(len(scans[t]), mb)
-            pts_all[t, : len(idx)] = pf[idx]
-            mask_all[t, : len(idx)] = mf[idx]
         prep_s = _time.monotonic() - t_prep
 
         runner = jax.jit(lambda st, o, p, m: replay_on_device(
@@ -104,7 +98,8 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
             "updates": int(len(est)), "scans": int(len(odom)),
             "latency": {"mode": "scan_driven",
                         "device_wall_s": round(wall, 3),
-                        "per_scan_ms": round(wall / len(odom) * 1e3, 3),
+                        "per_scan_ms": round(
+                            wall / max(len(odom), 1) * 1e3, 3),
                         "host_prep_s": round(prep_s, 3)},
         }
     else:

@@ -217,12 +217,37 @@ def test_dense_and_probe_kernel_paths_agree():
         q_cov = jnp.broadcast_to(
             jnp.eye(d, dtype=jnp.float32) * 0.01, (25, d, d))
         dense = _kernel_likelihood_dense(nm, params, q_mean, q_cov)
+        orig = ndt_mod._DENSE_MAX_CELLS
         try:
             ndt_mod._DENSE_MAX_CELLS = 0  # force the probe path
             probe = _kernel_likelihood(nm, params, q_mean, q_cov, kern)
         finally:
-            ndt_mod._DENSE_MAX_CELLS = 256
+            ndt_mod._DENSE_MAX_CELLS = orig
         np.testing.assert_allclose(
             np.asarray(dense), np.asarray(probe), rtol=1e-5, atol=1e-8,
             err_msg=f"d={d}")
         assert float(jnp.max(dense)) > 0.0  # some queries actually match
+
+
+def test_dense_3d_singular_covariance_not_max_likelihood():
+    """Planar NDT cells (rank-deficient covariance) summed with a
+    measurement covariance degenerate in the same direction must not
+    collapse the dense quadratic form to zero (max likelihood for
+    arbitrarily wrong particles) — regression for the unjittered
+    adjugate."""
+    from beluga_tpu.maps.ndt import make_ndt_map
+    from beluga_tpu.models.sensor.ndt import (
+        KERNEL_3D, NdtModelParams, _kernel_likelihood_dense)
+
+    params = NdtModelParams()
+    cells = np.asarray([[0, 0, 0]], np.int32)
+    means = np.asarray([[0.25, 0.25, 0.25]], np.float32)
+    covs = np.asarray([np.diag([0.04, 0.04, 0.0])], np.float32)  # planar
+    nm = make_ndt_map(cells, means, covs, 0.5)
+    q_mean = jnp.asarray([[0.30, 0.20, 0.25]], jnp.float32)  # 7 cm off
+    q_cov = jnp.asarray([np.diag([0.01, 0.01, 0.0])], jnp.float32)
+    lik = float(_kernel_likelihood_dense(nm, params, q_mean, q_cov)[0])
+    assert np.isfinite(lik)
+    assert lik < 0.99 * params.d1, lik  # not the no-error maximum
+    # and the in-plane error is what it scores: exp(-0.5 * 0.005/0.05)
+    assert abs(lik - np.exp(-0.5 * (0.05**2 + 0.05**2) / 0.05)) < 5e-3
