@@ -1,0 +1,167 @@
+"""Pallas windowed pose-LUT lookup: one MXU lookup per particle.
+
+Companion kernel to the *windowed* shared-scan LUT
+(models/sensor/likelihood_field_winlut.py): the per-scan pose likelihood
+``L(θ, y, x) = Σ_b pz³`` is precomputed over a small window of poses
+covering the (converged) particle cloud, and this kernel evaluates every
+particle with a θ-interpolated floor-cell lookup — the reweight drops from
+B beam lookups per particle to ONE table read.
+
+Serialized gathers run at ~5e7 rows/s on v5e regardless of table size
+(NOTES.md), so the read rides the MXU instead, with the same one-hot
+pattern as ops/pallas_reweight.py:
+
+    rows[x, p]  = Σ_j  L_T[t_lo+j, x, :] @ ohy_j      (bf16 MXU)
+    val[p]      = Σ_x (xi_p == x) · rows[x, p]        (VPU select)
+
+where ``ohy_j[y, p] = (yi_p == y) · w_j(p)`` carries BOTH the y one-hot
+and the θ-lerp weight ``w_j = (1-a)·[k₀=j] + a·[k₀=j-1]`` — the two
+θ-neighbor reads cost one matmul series, not two.
+
+Each lane tile of ``tile`` particles reads its θ-slab base ``t_lo`` from
+SMEM (precomputed per tile in XLA as the clamped floor of the tile's min
+valid θ-bin); with θ-sorted particle slots (``sorted_slots``) a
+``tblk``-deep slab covers the tile: per-particle MXU work is
+``tblk · Wx · Wy`` MAC, so SMALL tiles with shallow slabs win — the
+default (512, 8) covers a ≤0.35 rad span per tile at dth = 2π/128.
+Particles outside the window in x, y, or θ (stray tails, recovery
+injections, tiles whose θ span exceeds the slab) score ``miss`` — the
+all-beams-unknown weight, the same convention as the windowed beam kernel
+(ops/pallas_beam_lut.py); callers gate the fast path on in-window
+coverage and fall back to the exact per-beam model otherwise.
+
+The LUT is stored x-major ``[K, Wx, Wy]`` so the dynamic θ-slab index
+rides the untiled leading dim (docs/kernels.md field notes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
+    def kernel(scal_ref, tlo_ref, xi_ref, yi_ref, t_ref, vals_ref, out_ref):
+        miss = scal_ref[0, 0]
+        base = scal_ref[0, 1]
+        t_lo = tlo_ref[0, 0, 0]
+        p = xi_ref.shape[1]
+
+        xi = xi_ref[0, :][None, :]  # f32 [1, P] (integral values)
+        yi = yi_ref[0, :][None, :]
+        t = t_ref[0, :][None, :]
+        k0 = jnp.floor(t)
+        a = t - k0
+        k0rel = k0 - t_lo.astype(jnp.float32)
+
+        # Mosaic's tpu.iota is integer-only; cast for the f32 compares
+        iota_y = jax.lax.broadcasted_iota(jnp.int32, (wy, p), 0).astype(jnp.float32)
+        iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, p), 0).astype(jnp.float32)
+
+        acc = jnp.zeros((wx, p), jnp.float32)
+        for j in range(tblk):  # static unroll: tblk dots per tile
+            wj = jnp.where(k0rel == j, 1.0 - a, 0.0) + jnp.where(
+                k0rel == j - 1, a, 0.0
+            )  # [1, P]
+            ohy = jnp.where(yi == iota_y, wj, 0.0).astype(vals_ref.dtype)
+            slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
+            acc = acc + jax.lax.dot(
+                slab, ohy, preferred_element_type=jnp.float32
+            )
+        val = jnp.sum(jnp.where(xi == iota_x, acc, 0.0), axis=0, keepdims=True)
+
+        valid = (
+            (xi >= 0.0) & (xi < wx) & (yi >= 0.0) & (yi < wy)
+            & (k0rel >= 0.0) & (k0rel <= tblk - 2)
+        )
+        out_ref[:] = jnp.where(valid, base + val, miss)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "tblk", "interpret")
+)
+def winlut_lookup(
+    values_t: Array,
+    xi: Array,
+    yi: Array,
+    t: Array,
+    miss: Array,
+    base: Array | float = 1.0,
+    tile: int = 512,
+    tblk: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Evaluate ``base + lerp_θ(L[t, yi, xi])`` per particle; ``f32[N]``.
+
+    Args:
+      values_t: ``bf16[K, Wx, Wy]`` x-major windowed LUT.
+      xi, yi: f32[N] integral window-cell coordinates (pre-offset by the
+        window origin; out-of-range ⇒ miss).
+      t: f32[N] fractional θ-bin coordinate (k₀ = floor(t) and k₀+1 are
+        lerped; out-of-range ⇒ miss).  Slots should be θ-sorted so each
+        ``tile`` spans ≤ ``tblk - 1`` bins; particles above their tile's
+        slab score miss (they fail the coverage gate upstream).
+      miss: scalar replacement weight for out-of-window particles.
+      base: additive base (1.0 for the ``1 + Σpz³`` AMCL parity weight).
+      tile: particles per kernel program (lane-axis block).
+      tblk: θ-slab depth per tile (k₀ and k₀+1 must both fit).
+    Returns f32[N] weights.
+    """
+    k_bins, wx, wy = values_t.shape
+    tblk = min(tblk, k_bins)
+    n = xi.shape[0]
+    n_pad = -(-n // tile) * tile
+
+    def pad(v):
+        return jnp.pad(
+            v.astype(jnp.float32), (0, n_pad - n), constant_values=-1.0
+        )[None, :]
+
+    xi_p, yi_p, t_p = pad(xi), pad(yi), pad(t)
+
+    # per-tile θ-slab base: clamped floor of the tile's min valid t (strays
+    # carry t outside [0, K) and score miss regardless of the slab)
+    n_tiles = n_pad // tile
+    t_tiles = t_p.reshape(n_tiles, tile)
+    t_in = jnp.where((t_tiles >= 0.0) & (t_tiles < k_bins), t_tiles, jnp.inf)
+    t_lo = jnp.clip(
+        jnp.floor(jnp.min(t_in, axis=1)), 0.0, max(k_bins - tblk, 0)
+    ).astype(jnp.int32)
+    # [n_tiles, 1, 8]: per-tile SMEM scalars need last-two block dims equal
+    # to the array dims (Mosaic block-shape rule; cf. ops/pallas_beam_lut.py)
+    t_lo = jnp.pad(t_lo[:, None, None], ((0, 0), (0, 0), (0, 7)))
+
+    scal = jnp.stack(
+        [jnp.asarray(miss, jnp.float32), jnp.asarray(base, jnp.float32)]
+    )[None, :]
+
+    vals = values_t
+    if interpret:  # CPU has no bf16 matmul path worth testing; use f32
+        vals = values_t.astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _make_kernel(k_bins, wx, wy, tblk),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k_bins, wx, wy), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        interpret=interpret,
+    )(scal, t_lo, xi_p, yi_p, t_p, vals)
+    return out[0, :n]

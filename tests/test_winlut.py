@@ -1,0 +1,136 @@
+"""Windowed shared-scan pose LUT: accuracy vs the exact per-beam model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beluga_tpu.lie import SE2
+from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+from beluga_tpu.models.sensor.likelihood_field import (
+    LikelihoodFieldParams,
+    likelihood_field_weights,
+    make_likelihood_field,
+)
+from beluga_tpu.models.sensor.likelihood_field_winlut import (
+    build_windowed_scan_lut,
+    windowed_coverage,
+    windowed_scan_lut_weights,
+)
+
+CENTER = (3.2, 3.2, 0.7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[25:30, 40:45] = OCCUPIED_VALUE
+    data[45:48, 12:18] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+    field = make_likelihood_field(LikelihoodFieldParams(max_laser_distance=5.0), grid)
+
+    rng = np.random.default_rng(0)
+    n_beams = 24
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    r = rng.uniform(0.5, 2.0, n_beams)
+    points = jnp.asarray(np.stack([r * np.cos(angles), r * np.sin(angles)], -1), jnp.float32)
+    mask = jnp.ones(n_beams, bool)
+    lut = jax.jit(
+        lambda f, p, m: build_windowed_scan_lut(
+            f, p, m, *map(jnp.float32, CENTER),
+            k_bins=32, win=64, dth=2.0 * np.pi / 128.0,
+            max_point_radius=2.5, resolution_hint=0.1,
+        )
+    )(field, points, mask)
+    return field, points, mask, lut
+
+
+def _cloud_states(n, spread_xy=0.4, spread_th=0.25, seed=1, sort=True):
+    rng = np.random.default_rng(seed)
+    th = CENTER[2] + rng.uniform(-spread_th, spread_th, n)
+    if sort:  # θ-sorted slots: the kernel's tile/slab contract
+        th = np.sort(th)
+    return SE2.from_xytheta(
+        jnp.asarray(CENTER[0] + rng.uniform(-spread_xy, spread_xy, n), jnp.float32),
+        jnp.asarray(CENTER[1] + rng.uniform(-spread_xy, spread_xy, n), jnp.float32),
+        jnp.asarray(th, jnp.float32),
+    )
+
+
+def test_winlut_matches_exact_model(setup):
+    field, points, mask, lut = setup
+    states = _cloud_states(512)
+    exact = np.asarray(likelihood_field_weights(field, states, points, mask))
+    approx = np.asarray(
+        windowed_scan_lut_weights(lut, states, tile=128, interpret=True)
+    )
+
+    rel = np.abs(approx - exact) / np.abs(exact)
+    assert np.median(rel) < 0.08, f"median rel err {np.median(rel):.3f}"
+    assert np.corrcoef(exact, approx)[0, 1] > 0.9
+    k = len(exact) // 10
+    overlap = len(set(np.argsort(exact)[-k:]) & set(np.argsort(approx)[-k:])) / k
+    assert overlap > 0.6, f"top-decile overlap {overlap:.2f}"
+
+
+def test_winlut_strays_score_miss(setup):
+    field, points, mask, _ = setup
+    # a 32-cell window (3.2 m) leaves real out-of-window space on the 6.4 m
+    # map: far outside in x/y, and in-window xy but out-of-range theta
+    lut = build_windowed_scan_lut(
+        field, points, mask, *map(jnp.float32, CENTER),
+        k_bins=32, win=32, dth=2.0 * np.pi / 128.0,
+        max_point_radius=2.5, resolution_hint=0.1,
+    )
+    states = SE2.from_xytheta(
+        jnp.asarray([0.3, 5.9, CENTER[0]], jnp.float32),
+        jnp.asarray([0.3, 5.9, CENTER[1]], jnp.float32),
+        jnp.asarray([CENTER[2], CENTER[2], CENTER[2] + np.pi], jnp.float32),
+    )
+    w = np.asarray(windowed_scan_lut_weights(lut, states, interpret=True))
+    miss = float(lut.miss)
+    np.testing.assert_allclose(w, miss, rtol=1e-6)
+    assert np.isfinite(w).all() and (w >= 1.0).all()
+
+
+def test_winlut_coverage_gate(setup):
+    field, points, mask, lut = setup
+    inside = _cloud_states(256)
+    cov_in = float(windowed_coverage(lut, inside, stride=1))
+    assert cov_in > 0.95
+    rng = np.random.default_rng(3)
+    outside = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(0.2, 6.0, 256), jnp.float32),
+        jnp.asarray(rng.uniform(0.2, 6.0, 256), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, 256), jnp.float32),
+    )
+    cov_out = float(windowed_coverage(lut, outside, stride=1))
+    assert cov_out < 0.6
+
+
+def test_winlut_small_map_padding(setup):
+    """Maps smaller than the window still build and evaluate (pad growth)."""
+    _, points, mask, _ = setup
+    data = np.zeros((20, 20), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+    field = make_likelihood_field(LikelihoodFieldParams(max_laser_distance=5.0), grid)
+    lut = build_windowed_scan_lut(
+        field, points, mask,
+        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0),
+        k_bins=16, win=64, max_point_radius=2.5, resolution_hint=0.1,
+    )
+    states = SE2.from_xytheta(
+        jnp.asarray([1.0], jnp.float32), jnp.asarray([1.0], jnp.float32),
+        jnp.asarray([0.0], jnp.float32),
+    )
+    exact = np.asarray(likelihood_field_weights(field, states, points, mask))
+    approx = np.asarray(windowed_scan_lut_weights(lut, states, interpret=True))
+    assert np.isfinite(approx).all()
+    # a 2 m map puts EVERY beam endpoint on a wall/unknown discontinuity —
+    # the sinc-sampling worst case — so only a loose band is asserted here
+    # (a misindexing bug would return miss≈1.19 or garbage, not a value in
+    # the exact neighborhood); accuracy is covered on the larger-map test
+    assert approx[0] > 1.5 * float(lut.miss)
+    np.testing.assert_allclose(approx, exact, rtol=0.5)
