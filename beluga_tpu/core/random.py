@@ -92,3 +92,40 @@ def sample_uniform_free_cells(key: Array, n: int, free_xy: Array, num_free: Arra
     idx = jax.random.randint(k_idx, (n,), 0, jnp.maximum(num_free, 1))
     xy = jnp.take(free_xy, idx, axis=0)
     return SE2(xy, SO2.sample_uniform(k_th, (n,)))
+
+
+def sample_uniform_free_cells_pooled(
+    key: Array,
+    n: int,
+    free_xy: Array,
+    num_free: Array,
+    pool: int = 256,
+    interpret: bool | None = None,
+) -> SE2:
+    """Free-cell-uniform SE2 states through a fresh per-call candidate pool.
+
+    The exact sampler gathers ``n`` random rows of ``free_xy`` — serialized
+    at ~5e7 rows/s on TPU, which makes recovery-state generation a fixed
+    multi-ms tax on every resample even when no particle is injected
+    (p_random = 0 while tracking).  This variant gathers only ``pool``
+    fresh iid candidate cells per call and assigns every output slot an
+    independent uniform choice *among the pool* on the MXU
+    (ops/pallas_lookup.py pallas_pool_take) — no [n]-sized gather anywhere.
+
+    Statistics: the marginal of every output is exactly uniform over free
+    cells (pool entries are iid uniform; slot choices are uniform among
+    them).  Deviation from the reference's iid stream is joint-only: two
+    outputs of the same call may collide on a pool entry (bootstrap
+    resampling; collision mass ~ n_injected²/2·pool for the injected
+    subset).  Heading stays iid uniform per slot.
+    """
+    from beluga_tpu.ops.pallas_lookup import pallas_pool_take
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_pool, k_idx, k_th = jax.random.split(key, 3)
+    cand = jax.random.randint(k_pool, (pool,), 0, jnp.maximum(num_free, 1))
+    pool_xy = jnp.take(free_xy, cand, axis=0)  # [pool, 2] — the only gather
+    idx = jax.random.randint(k_idx, (n,), 0, pool)
+    xy = pallas_pool_take(pool_xy, idx, interpret=interpret)
+    return SE2(xy, SO2.sample_uniform(k_th, (n,)))

@@ -55,13 +55,27 @@ def make_motion_fn(motion_params):
     return propagate
 
 
-def make_grid_random_state_fn():
+def make_grid_random_state_fn(recovery_candidates: int = 0):
     """Recovery generator: uniform over the free cells of ctx['grid']
-    (beluga_ros/amcl.hpp map_distribution_)."""
+    (beluga_ros/amcl.hpp map_distribution_).
+
+    ``recovery_candidates > 0`` switches to the pooled generator
+    (core/random.py sample_uniform_free_cells_pooled): a fresh pool of
+    that many iid candidate cells per call, slots assigned on the MXU —
+    removes the serialized n-row gather (~2.7 ms per fleet resample,
+    ~5 ms at mega scale) at the cost of bootstrap (not iid-distinct)
+    joint statistics among injected particles; marginals stay exact."""
 
     def random_state(ctx, key, n, particles=None):
         del particles
         grid: OccupancyGrid = ctx["grid"]
+        if recovery_candidates:
+            from beluga_tpu.core.random import sample_uniform_free_cells_pooled
+
+            return sample_uniform_free_cells_pooled(
+                key, n, grid.free_xy, grid.num_free,
+                pool=recovery_candidates,
+            )
         return sample_uniform_free_cells(key, n, grid.free_xy, grid.num_free)
 
     return random_state
@@ -75,6 +89,7 @@ def make_likelihood_field_filter(
     use_cluster_estimate: bool = False,
     lookup_mode: str = "auto",
     lowrank_rank: int = 48,
+    recovery_candidates: int = 0,
 ):
     """Assemble the likelihood-field AMCL configuration.
 
@@ -140,7 +155,7 @@ def make_likelihood_field_filter(
     models = AmclModels(
         propagate=make_motion_fn(motion_params),
         log_weight=log_weight,
-        random_state=make_grid_random_state_fn(),
+        random_state=make_grid_random_state_fn(recovery_candidates),
         hash_state=default_hash_state,
         estimate=estimate,
     )
@@ -212,6 +227,7 @@ def make_shared_scan_filter(
     max_point_radius: float = 4.0,
     lut_build: str | None = None,
     lut_build_kwargs: dict | None = None,
+    recovery_candidates: int = 0,
 ):
     """Likelihood-field AMCL for fleets that score the *same* scan.
 
@@ -257,7 +273,7 @@ def make_shared_scan_filter(
     models = AmclModels(
         propagate=make_motion_fn(motion_params),
         log_weight=log_weight,
-        random_state=make_grid_random_state_fn(),
+        random_state=make_grid_random_state_fn(recovery_candidates),
         hash_state=default_hash_state,
         estimate=default_estimate,
     )
@@ -278,6 +294,105 @@ def make_shared_scan_filter(
     return models, ctx, prepare
 
 
+def make_windowed_scan_filter(
+    grid: OccupancyGrid,
+    lf_params: LikelihoodFieldParams = LikelihoodFieldParams(),
+    motion_params: Any = DifferentialDriveParams(),
+    k_bins: int = 64,
+    win: int = 128,
+    dth: float = 2.0 * 3.141592653589793 / 128.0,
+    max_point_radius: float = 4.0,
+    tile: int = 512,
+    tblk: int = 16,
+    coverage_threshold: float = 0.98,
+    coverage_stride: int = 8,
+    recovery_candidates: int = 0,
+):
+    """Likelihood-field AMCL through the *windowed* per-scan pose LUT —
+    the single-(mega-)filter tracking fast path.
+
+    Per update the reweight builds a ``k_bins × win × win`` pose-likelihood
+    window around the propagated cloud's mean (DFT correlation on the MXU,
+    ~3 ms/scan regardless of particle count) and scores every particle with
+    one θ-lerped MXU lookup (models/sensor/likelihood_field_winlut.py) —
+    beam-count- and particle-count-decoupled.  A coverage gate (computed
+    from the window *origin*, before paying for the build) falls back to
+    the exact codebook reweight when the cloud doesn't fit the window
+    (global localization, recovery bursts), so convergence behavior is
+    preserved.
+
+    Contracts: single filter only (under ``vmap`` the ``lax.cond`` lowers
+    to ``select`` and both paths execute — use lookup_mode='codebook16'
+    for fleets); requires ``AmclParams(sorted_slots=True)`` (θ-sorted
+    slots keep each lane tile within the kernel's ``tblk``-bin θ slab;
+    out-of-slab particles score the all-beams-unknown miss weight).
+
+    Returns ``(models, ctx)``.
+    """
+    from beluga_tpu.models.sensor.likelihood_field import (
+        likelihood_field_weights,
+        likelihood_field_weights_codebook,
+    )
+    from beluga_tpu.models.sensor.likelihood_field_winlut import (
+        build_windowed_scan_lut,
+        windowed_coverage_from_center,
+        windowed_scan_lut_weights,
+    )
+
+    res_hint = grid.resolution_hint
+    on_tpu = jax.default_backend() == "tpu"
+    geo = dict(
+        k_bins=k_bins, win=win, dth=dth, max_point_radius=max_point_radius,
+        resolution_hint=res_hint,
+    )
+
+    def log_weight(ctx, states, points, beam_mask):
+        field = ctx["field"]
+        cx = jnp.mean(states.xy[..., 0])
+        cy = jnp.mean(states.xy[..., 1])
+        ct = jnp.arctan2(jnp.mean(states.rot.sin), jnp.mean(states.rot.cos))
+        cov = windowed_coverage_from_center(
+            field, states, cx, cy, ct, stride=coverage_stride, **geo
+        )
+
+        def fast(_):
+            lut = build_windowed_scan_lut(
+                field, points, beam_mask, cx, cy, ct, **geo
+            )
+            return jnp.log(
+                windowed_scan_lut_weights(
+                    lut, states, tile=tile, tblk=tblk,
+                    interpret=not on_tpu,
+                )
+            )
+
+        def exact(_):
+            if on_tpu:
+                lik = likelihood_field_weights_codebook(
+                    field, ctx["field_codes"], states, points, beam_mask
+                )
+            else:
+                lik = likelihood_field_weights(
+                    field, states, points, beam_mask
+                )
+            return jnp.log(lik)
+
+        return jax.lax.cond(cov >= coverage_threshold, fast, exact, None)
+
+    models = AmclModels(
+        propagate=make_motion_fn(motion_params),
+        log_weight=log_weight,
+        random_state=make_grid_random_state_fn(recovery_candidates),
+        hash_state=default_hash_state,
+        estimate=default_estimate,
+    )
+    field = make_likelihood_field(lf_params, grid)
+    ctx = {"grid": grid, "field": field}
+    if on_tpu:
+        ctx["field_codes"] = _make_field_codes(field, lf_params, grid)
+    return models, ctx
+
+
 def make_beam_filter(
     grid: OccupancyGrid,
     beam_params=None,
@@ -287,6 +402,7 @@ def make_beam_filter(
     use_cluster_estimate: bool = False,
     use_sphere_trace: bool = False,
     raycast_variant: str = "standard",
+    recovery_candidates: int = 0,
 ):
     """Assemble the beam-model AMCL configuration.
 
@@ -364,7 +480,7 @@ def make_beam_filter(
     models = AmclModels(
         propagate=make_motion_fn(motion_params),
         log_weight=log_weight,
-        random_state=make_grid_random_state_fn(),
+        random_state=make_grid_random_state_fn(recovery_candidates),
         hash_state=default_hash_state,
         estimate=estimate,
     )

@@ -89,6 +89,41 @@ class WindowedScanLut:
     dth: float
 
 
+def window_geometry(
+    field: LikelihoodField,
+    center_x: Array,
+    center_y: Array,
+    center_theta: Array,
+    k_bins: int = 64,
+    win: int = 128,
+    dth: float = 2.0 * np.pi / 128.0,
+    max_point_radius: float = 4.0,
+    resolution_hint: float | None = None,
+):
+    """Window origin ``(x0, y0, theta0, pad)`` for a cloud center — the
+    cheap part of :func:`build_windowed_scan_lut` (no correlation build),
+    so callers can gate on :func:`windowed_coverage` *before* paying for
+    the values (e.g. the exact-fallback ``lax.cond`` in
+    filters/builders.py make_windowed_scan_filter)."""
+    if resolution_hint is None:
+        resolution_hint = float(jax.device_get(field.resolution))
+    res = field.resolution
+    pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
+    h, w = field.values.shape
+    hp, wp = max(h + 2 * pad, win + 2 * pad), max(w + 2 * pad, win + 2 * pad)
+    tf_center = field.world_to_field @ SE2.from_xytheta(
+        center_x, center_y, center_theta
+    )
+    cx = jnp.floor(tf_center.x / res).astype(jnp.int32) + pad
+    cy = jnp.floor(tf_center.y / res).astype(jnp.int32) + pad
+    # clamped so the scan-radius ring around the window stays inside the
+    # padded image
+    x0 = jnp.clip(cx - win // 2, pad, wp - win - pad)
+    y0 = jnp.clip(cy - win // 2, pad, hp - win - pad)
+    theta0 = tf_center.theta - (k_bins // 2) * dth
+    return x0, y0, theta0, pad
+
+
 def build_windowed_scan_lut(
     field: LikelihoodField,
     points: Array,
@@ -127,16 +162,11 @@ def build_windowed_scan_lut(
         )
         wp = wr
 
-    # window origin (padded-field cells), clamped so the scan-radius ring
-    # around the window stays inside the padded image
-    tf_center = field.world_to_field @ SE2.from_xytheta(
-        center_x, center_y, center_theta
+    x0, y0, theta0, _ = window_geometry(
+        field, center_x, center_y, center_theta,
+        k_bins=k_bins, win=win, dth=dth,
+        max_point_radius=max_point_radius, resolution_hint=resolution_hint,
     )
-    cx = jnp.floor(tf_center.x / res).astype(jnp.int32) + pad
-    cy = jnp.floor(tf_center.y / res).astype(jnp.int32) + pad
-    x0 = jnp.clip(cx - win // 2, pad, wp - win - pad)
-    y0 = jnp.clip(cy - win // 2, pad, hp - win - pad)
-    theta0 = tf_center.theta - (k_bins // 2) * dth
 
     region = jax.lax.dynamic_slice(padded, (y0 - pad, x0 - pad), (hr, wr))
 
@@ -180,16 +210,56 @@ def build_windowed_scan_lut(
     )
 
 
+def _coords(world_to_field, resolution, pad, x0, y0, theta0, k_bins, dth, states):
+    tf = world_to_field @ states
+    xi = jnp.floor(tf.x / resolution) + (pad - x0)
+    yi = jnp.floor(tf.y / resolution) + (pad - y0)
+    center = theta0 + (k_bins // 2) * dth
+    rel = jnp.mod(tf.theta - center + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    t = rel / dth + (k_bins // 2)
+    return xi, yi, t
+
+
 def windowed_coords(lut: WindowedScanLut, states: SE2):
     """Per-particle (xi, yi, t) window coordinates as f32 (strays fall
     outside [0, win) / [0, k_bins))."""
-    tf = lut.world_to_field @ states
-    xi = jnp.floor(tf.x / lut.resolution) + (lut.pad_cells - lut.x0)
-    yi = jnp.floor(tf.y / lut.resolution) + (lut.pad_cells - lut.y0)
-    center = lut.theta0 + (lut.k_bins // 2) * lut.dth
-    rel = jnp.mod(tf.theta - center + jnp.pi, 2.0 * jnp.pi) - jnp.pi
-    t = rel / lut.dth + (lut.k_bins // 2)
-    return xi, yi, t
+    return _coords(
+        lut.world_to_field, lut.resolution, lut.pad_cells, lut.x0, lut.y0,
+        lut.theta0, lut.k_bins, lut.dth, states,
+    )
+
+
+def windowed_coverage_from_center(
+    field: LikelihoodField,
+    states: SE2,
+    center_x: Array,
+    center_y: Array,
+    center_theta: Array,
+    k_bins: int = 64,
+    win: int = 128,
+    dth: float = 2.0 * np.pi / 128.0,
+    max_point_radius: float = 4.0,
+    resolution_hint: float | None = None,
+    stride: int = 8,
+) -> Array:
+    """Coverage fraction for a window that *would* be built around
+    ``center_*`` — no correlation build, so a fallback gate can run before
+    paying for :func:`build_windowed_scan_lut`."""
+    x0, y0, theta0, pad = window_geometry(
+        field, center_x, center_y, center_theta, k_bins=k_bins, win=win,
+        dth=dth, max_point_radius=max_point_radius,
+        resolution_hint=resolution_hint,
+    )
+    xi, yi, t = _coords(
+        field.world_to_field, field.resolution, pad, x0, y0, theta0,
+        k_bins, dth, states,
+    )
+    xi, yi, t = xi[::stride], yi[::stride], t[::stride]
+    ok = (
+        (xi >= 0) & (xi < win) & (yi >= 0) & (yi < win)
+        & (t >= 0) & (jnp.floor(t) <= k_bins - 2)
+    )
+    return jnp.mean(ok.astype(jnp.float32))
 
 
 def windowed_coverage(lut: WindowedScanLut, states: SE2, stride: int = 8) -> Array:

@@ -122,3 +122,59 @@ def pallas_codebook_lookup(
         interpret=interpret,
     )(yif, xif, codes_t, book2d)
     return out.ravel()[:n].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# pooled row take: out[i] = pool[idx[i]] without serialized gathers
+# ---------------------------------------------------------------------------
+
+_POOL_BLOCK = 512  # queries per sublane row (8 rows per program)
+
+
+def _pool_kernel(idx_ref, pool_ref, out_ref):
+    rows, b = idx_ref.shape
+    c, p = pool_ref.shape
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p, b), 0).astype(jnp.float32)
+    for r in range(rows):  # static unroll over the 8 sublane rows
+        oh = (idx_ref[r, :][None, :] == iota_p).astype(jnp.float32)  # [P, B]
+        # one-hot f32 selection is exact (single nonzero per column)
+        out_ref[r, :, :] = jax.lax.dot(
+            pool_ref[:], oh, preferred_element_type=jnp.float32
+        )  # [C, B]
+
+
+def pallas_pool_take(pool: Array, idx: Array, interpret: bool = False) -> Array:
+    """``pool[idx]`` for a small pool, on the MXU: ``f32[N, C]``.
+
+    Per-row random gathers serialize at ~5e7 rows/s on TPU regardless of
+    table size (docs/kernels.md); for a pool of ``P <= ~1024`` rows the
+    one-hot select-matmul fetches rows at VPU-compare speed instead
+    (~P compares + C MACs per query, all in VMEM).  Used by the pooled
+    recovery-state generator (core/random.py).
+
+    ``pool``: f32[P, C] (C <= 8 columns); ``idx``: integer-valued [N]
+    (any real dtype).  Exact: a one-hot f32 matmul copies rows verbatim.
+    """
+    p, c = pool.shape
+    n = idx.shape[0]
+    blk = 8 * _POOL_BLOCK
+    pad = -(-n // blk) * blk - n
+    g = (n + pad) // blk
+    idx_f = jnp.pad(idx.astype(jnp.float32), (0, pad), constant_values=-1.0)
+    idx_f = idx_f.reshape(8 * g, _POOL_BLOCK)
+    pool_t = pool.T.astype(jnp.float32)  # [C, P]
+
+    out = pl.pallas_call(
+        _pool_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((8, _POOL_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, c, _POOL_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8 * g, c, _POOL_BLOCK), jnp.float32),
+        interpret=interpret,
+    )(idx_f, pool_t)
+    return out.transpose(0, 2, 1).reshape(8 * g * _POOL_BLOCK, c)[:n]

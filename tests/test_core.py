@@ -217,3 +217,64 @@ def test_distinct_prefix_triangular_matches_sort():
         np.asarray(_distinct_prefix_count_triangular(h)),
         np.asarray(distinct_prefix_count(h)),
     )
+
+
+class TestPooledFreeCellSampler:
+    """pallas_pool_take + sample_uniform_free_cells_pooled (core/random.py)."""
+
+    def test_pool_take_exact(self):
+        from beluga_tpu.ops.pallas_lookup import pallas_pool_take
+
+        rng = np.random.default_rng(0)
+        pool = jnp.asarray(rng.normal(0, 10, (256, 2)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 256, 3000))
+        out = np.asarray(pallas_pool_take(pool, idx, interpret=True))
+        np.testing.assert_array_equal(out, np.asarray(pool)[np.asarray(idx)])
+
+    def test_pooled_sampler_marginal_uniform(self):
+        from beluga_tpu.core.random import sample_uniform_free_cells_pooled
+
+        # 16 distinct free cells; the marginal is uniform ACROSS calls (one
+        # call's outputs follow its pool's empirical composition — the
+        # documented bootstrap deviation), so average over fresh keys
+        free = np.stack(
+            [np.arange(16, dtype=np.float32), np.zeros(16, np.float32)], -1
+        )
+        xs = np.concatenate([
+            np.asarray(
+                sample_uniform_free_cells_pooled(
+                    jax.random.PRNGKey(i), 512, jnp.asarray(free),
+                    jnp.int32(16), pool=64, interpret=True,
+                ).xy[:, 0]
+            )
+            for i in range(32)
+        ]).astype(int)
+        counts = np.bincount(xs, minlength=16)
+        mean = counts.sum() / 16
+        # pool-composition variance dominates (std ≈ 0.085·mean at these
+        # sizes); fixed seeds make this deterministic — bounds are ~3σ
+        assert counts.min() > 0.7 * mean and counts.max() < 1.3 * mean
+        # headings uniform-ish (iid per slot, unaffected by the pool)
+        th = np.asarray(
+            sample_uniform_free_cells_pooled(
+                jax.random.PRNGKey(99), 8192, jnp.asarray(free), jnp.int32(16),
+                pool=64, interpret=True,
+            ).theta
+        )
+        assert abs(np.mean(np.cos(th))) < 0.05 and abs(np.mean(np.sin(th))) < 0.05
+
+    def test_builder_pooled_recovery_relocalizes(self):
+        """Recovery injection through the pooled generator still relocalizes
+        (the end-to-end property the exact gather provides)."""
+        from beluga_tpu.filters.builders import make_grid_random_state_fn
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+
+        data = np.zeros((32, 32), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        grid = make_grid(data, 0.1)
+        fn = make_grid_random_state_fn(recovery_candidates=64)
+        states = fn({"grid": grid}, jax.random.PRNGKey(1), 512)
+        xy = np.asarray(states.xy)
+        # all samples on free cells (inside the walls), spread over the map
+        assert (xy > 0.1).all() and (xy < 3.1).all()
+        assert xy[:, 0].std() > 0.4 and xy[:, 1].std() > 0.4

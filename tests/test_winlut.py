@@ -109,6 +109,61 @@ def test_winlut_coverage_gate(setup):
     assert cov_out < 0.6
 
 
+def test_windowed_scan_filter_tracks_and_falls_back(setup):
+    """make_windowed_scan_filter: converged clouds ride the winlut path and
+    track; a diverged cloud trips the coverage gate onto the exact path
+    (bit-identical to the plain likelihood-field reweight)."""
+    from beluga_tpu.core.random import sample_normal_se2, sample_uniform_box_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state, update
+    from beluga_tpu.filters.builders import (
+        make_likelihood_field_filter,
+        make_windowed_scan_filter,
+    )
+
+    field, points, mask, _ = setup
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+    data[25:30, 40:45] = OCCUPIED_VALUE
+    data[45:48, 12:18] = OCCUPIED_VALUE
+    grid = make_grid(data, 0.1)
+    lfp = LikelihoodFieldParams(max_laser_distance=5.0)
+    models, ctx = make_windowed_scan_filter(
+        grid, lfp, k_bins=32, win=48, max_point_radius=2.5,
+        tile=128, coverage_threshold=0.95,
+    )
+    n = 256
+    params = AmclParams(
+        max_particles=n, min_particles=n, sorted_slots=True,
+        update_min_d=0.0, update_min_a=0.0,
+    )
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    states = sample_normal_se2(
+        k1, n, SE2.from_xytheta(*CENTER),
+        jnp.diag(jnp.asarray([0.01, 0.01, 0.01], jnp.float32)),
+    )
+    st = init_state(k2, states, params)
+    odom = SE2.from_xytheta(*map(jnp.float32, CENTER))
+    for _ in range(3):
+        st, est = update(params, models, ctx, st, odom, points, mask)
+    err = np.hypot(
+        float(est.pose.xy[0]) - CENTER[0], float(est.pose.xy[1]) - CENTER[1]
+    )
+    assert err < 0.35, err
+
+    # diverged cloud -> coverage gate -> exact fallback (bit-identical)
+    k3, k4 = jax.random.split(k2)
+    wide = sample_uniform_box_se2(
+        k3, n, jnp.asarray([0.5, 0.5], jnp.float32),
+        jnp.asarray([5.9, 5.9], jnp.float32),
+    )
+    lw = models.log_weight(ctx, wide, points, mask)
+    exact = np.log(
+        np.asarray(likelihood_field_weights(ctx["field"], wide, points, mask))
+    )
+    np.testing.assert_allclose(np.asarray(lw), exact, rtol=1e-6)
+
+
 def test_winlut_small_map_padding(setup):
     """Maps smaller than the window still build and evaluate (pad growth)."""
     _, points, mask, _ = setup
