@@ -38,7 +38,14 @@ Array = jax.Array
 
 _CHUNK = 512  # positions per inner step
 _MBLK = 8192  # positions per pallas program (the grid axis)
-_NBLK = 2048  # particle-axis block (bounds the [NBLK, C] interval mask)
+# particle-axis granule: each position chunk scans only the granule blocks
+# spanning [min u, max u], so the [NBLK, C] interval mask covers ~chunk-many
+# donors instead of all N.  SORTED positions (every production path:
+# systematic, stratified, sorted-order-statistics multinomial) make the
+# per-chunk span ~C + slack; 256 won the hardware sweep (fleet 64x4096:
+# 1.68 -> 1.08 ms, mega 262k: 2.45 -> 0.96 ms floor-corrected; NOTES.md
+# round 2) against per-trip loop/dot overhead (~0.2 us) on v5e.
+_NBLK = 256
 # value planes larger than this stay in HBM (kernel DMAs per-block slices);
 # v5e VMEM is 128 MiB and the CDF/output tiles need their share
 _VMEM_VALS_LIMIT = 48 << 20
@@ -70,7 +77,7 @@ def _split3(x: Array) -> Array:
     return jnp.concatenate([hi, mid, lo], axis=-2).astype(jnp.bfloat16)
 
 
-def _make_kernel_small(n_real: int):
+def _make_kernel_small(n_real: int, chunk: int):
     """Single-program kernel for small filters (n <= 2 * _NBLK): full
     interval mask per position chunk, static loop bounds (the dynamic
     block-range bookkeeping of the big-N kernel costs ~10% at fleet size)."""
@@ -87,23 +94,23 @@ def _make_kernel_small(n_real: int):
         is_last = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == n_real - 1
         vals = vals_ref[:]  # [3D, N]
 
-        def chunk(c, _):
-            u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
+        def body(c, _):
+            u = u_ref[0, pl.ds(c * chunk, chunk)][None, :]  # [1, C]
             mask = (u >= prev_col) & ((u < cdf_col) | is_last)  # [N, C]
             picked = jnp.dot(
                 vals, mask.astype(vals.dtype), preferred_element_type=jnp.float32
             )  # [3D, C]
-            out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
+            out_ref[:, pl.ds(c * chunk, chunk)] = (
                 picked[:d] + picked[d : 2 * d] + picked[2 * d :]
             )
             return 0
 
-        jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+        jax.lax.fori_loop(0, m // chunk, body, 0)
 
     return _kernel
 
 
-def _make_kernel(n_real: int):
+def _make_kernel(n_real: int, chunk: int, nblk: int):
     """Kernel over padded arrays; ``n_real`` is the true particle count
     (the open-ended last CDF interval sits at index n_real - 1)."""
 
@@ -112,7 +119,7 @@ def _make_kernel(n_real: int):
         d3 = vals_ref.shape[0]
         d = d3 // 3
         m = u_ref.shape[1]
-        n_blocks = n // _NBLK
+        n_blocks = n // nblk
 
         # block boundaries: cdf value at the end of each particle block
         # (computed by the caller); a position chunk only needs the blocks
@@ -120,8 +127,8 @@ def _make_kernel(n_real: int):
         # stratified) cost O(N + M) blocks total instead of O(N * M / chunk)
         bounds = bounds_ref[0, :][None, :]
 
-        def chunk(c, _):
-            u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
+        def body(c, _):
+            u = u_ref[0, pl.ds(c * chunk, chunk)][None, :]  # [1, C]
             u_min = jnp.min(u)
             u_max = jnp.max(u)
             lob = jnp.sum((bounds < u_min).astype(jnp.int32))
@@ -132,35 +139,35 @@ def _make_kernel(n_real: int):
             def nblock(b, acc):
                 # particle-axis blocking keeps the mask at [NBLK, C] so VMEM
                 # stays bounded for any N (262k+ particles spill otherwise)
-                cdf_b = cdf_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
-                prev_b = cdf_prev_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
-                gidx = b * _NBLK + jax.lax.broadcasted_iota(
-                    jnp.int32, (_NBLK, 1), 0
+                cdf_b = cdf_ref[0, pl.ds(b * nblk, nblk)][:, None]
+                prev_b = cdf_prev_ref[0, pl.ds(b * nblk, nblk)][:, None]
+                gidx = b * nblk + jax.lax.broadcasted_iota(
+                    jnp.int32, (nblk, 1), 0
                 )
                 is_last = gidx == n_real - 1
                 mask = (u >= prev_b) & ((u < cdf_b) | is_last)  # [NBLK, C]
-                vals_b = vals_ref[:, pl.ds(b * _NBLK, _NBLK)]
+                vals_b = vals_ref[:, pl.ds(b * nblk, nblk)]
                 return acc + jnp.dot(
                     vals_b, mask.astype(vals_b.dtype),
                     preferred_element_type=jnp.float32,
                 )
 
             picked = jax.lax.fori_loop(
-                lob, hib, nblock, jnp.zeros((d3, _CHUNK), jnp.float32)
+                lob, hib, nblock, jnp.zeros((d3, chunk), jnp.float32)
             )  # [3D, C]
             # the open-ended last interval (u >= cdf[-1]) lives in the block
             # of n_real - 1, which [lob, hib) covers since bounds[-1] = 1
-            out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
+            out_ref[:, pl.ds(c * chunk, chunk)] = (
                 picked[:d] + picked[d : 2 * d] + picked[2 * d :]
             )
             return 0
 
-        jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+        jax.lax.fori_loop(0, m // chunk, body, 0)
 
     return _kernel
 
 
-def _make_kernel_huge(n_real: int):
+def _make_kernel_huge(n_real: int, chunk: int, nblk: int):
     """Like :func:`_make_kernel`, but the value planes stay in HBM and each
     touched particle block is DMA'd into a VMEM scratch: beyond ~2M
     particles the whole ``[3D, N]`` bf16 table exceeds VMEM (128 MiB on
@@ -172,11 +179,11 @@ def _make_kernel_huge(n_real: int):
         d3 = vblk_ref.shape[0]
         d = d3 // 3
         m = u_ref.shape[1]
-        n_blocks = n // _NBLK
+        n_blocks = n // nblk
         bounds = bounds_ref[0, :][None, :]
 
-        def chunk(c, _):
-            u = u_ref[0, pl.ds(c * _CHUNK, _CHUNK)][None, :]  # [1, C]
+        def body(c, _):
+            u = u_ref[0, pl.ds(c * chunk, chunk)][None, :]  # [1, C]
             u_min = jnp.min(u)
             u_max = jnp.max(u)
             lob = jnp.sum((bounds < u_min).astype(jnp.int32))
@@ -185,15 +192,15 @@ def _make_kernel_huge(n_real: int):
             )
 
             def nblock(b, acc):
-                cdf_b = cdf_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
-                prev_b = cdf_prev_ref[0, pl.ds(b * _NBLK, _NBLK)][:, None]
-                gidx = b * _NBLK + jax.lax.broadcasted_iota(
-                    jnp.int32, (_NBLK, 1), 0
+                cdf_b = cdf_ref[0, pl.ds(b * nblk, nblk)][:, None]
+                prev_b = cdf_prev_ref[0, pl.ds(b * nblk, nblk)][:, None]
+                gidx = b * nblk + jax.lax.broadcasted_iota(
+                    jnp.int32, (nblk, 1), 0
                 )
                 is_last = gidx == n_real - 1
                 mask = (u >= prev_b) & ((u < cdf_b) | is_last)  # [NBLK, C]
                 cp = pltpu.make_async_copy(
-                    vals_ref.at[:, pl.ds(b * _NBLK, _NBLK)], vblk_ref, sem
+                    vals_ref.at[:, pl.ds(b * nblk, nblk)], vblk_ref, sem
                 )
                 cp.start()
                 cp.wait()
@@ -204,21 +211,28 @@ def _make_kernel_huge(n_real: int):
                 )
 
             picked = jax.lax.fori_loop(
-                lob, hib, nblock, jnp.zeros((d3, _CHUNK), jnp.float32)
+                lob, hib, nblock, jnp.zeros((d3, chunk), jnp.float32)
             )  # [3D, C]
-            out_ref[:, pl.ds(c * _CHUNK, _CHUNK)] = (
+            out_ref[:, pl.ds(c * chunk, chunk)] = (
                 picked[:d] + picked[d : 2 * d] + picked[2 * d :]
             )
             return 0
 
-        jax.lax.fori_loop(0, m // _CHUNK, chunk, 0)
+        jax.lax.fori_loop(0, m // chunk, body, 0)
 
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "chunk", "nblk")
+)
 def resample_take(
-    weights: Array, positions: Array, values: Array, interpret: bool = False
+    weights: Array,
+    positions: Array,
+    values: Array,
+    interpret: bool = False,
+    chunk: int = _CHUNK,
+    nblk: int = _NBLK,
 ) -> Array:
     """Fused CDF search + donor copy for one filter.
 
@@ -226,13 +240,15 @@ def resample_take(
       weights: f32[N] linear weights (zero on dead slots).
       positions: f32[M] resampling positions in [0, 1).
       values: f32[D, N] per-particle state planes.
+      chunk / nblk: position-chunk and donor-granule sizes (static; lane-
+        aligned multiples of 128).
     Returns:
       f32[M, D] donor states (bit-exact copies).
     """
     n = weights.shape[0]
     m = positions.shape[0]
     d = values.shape[0]
-    m_pad = -(-m // _CHUNK) * _CHUNK
+    m_pad = -(-m // chunk) * chunk
     if m_pad != m:
         # padded positions never select a donor (cdf pads at 2.0, u pads at
         # 1.5) and their zero rows are sliced off below
@@ -250,7 +266,7 @@ def resample_take(
 
     # pad the particle axis to the kernel's block size; padded CDF entries
     # sit at 2.0 so no position (u < 1.5) ever selects them
-    n_pad = -(-n // _NBLK) * _NBLK
+    n_pad = -(-n // nblk) * nblk
     cdf = jnp.pad(cdf, (0, n_pad - n), constant_values=2.0)
     cdf_prev = jnp.pad(cdf_prev, (0, n_pad - n), constant_values=2.0)
 
@@ -268,18 +284,18 @@ def resample_take(
     mg = -(-m_pad // mblk) * mblk
     if mg != m_pad:
         positions = jnp.pad(positions, (0, mg - m_pad), constant_values=1.5)
-    n_blocks = n_pad // _NBLK
-    bounds = cdf.reshape(n_blocks, _NBLK)[:, -1]
-    small = n_pad <= 2 * _NBLK
+    n_blocks = n_pad // nblk
+    bounds = cdf.reshape(n_blocks, nblk)[:, -1]
+    small = n_pad <= 2 * nblk
     # beyond ~2M particles the whole [3D, N] value table exceeds VMEM —
     # keep it in HBM and let the kernel DMA per-block slices
     huge = 3 * d_pad * n_pad * vals3.dtype.itemsize > _VMEM_VALS_LIMIT
     if small:
-        kernel = _make_kernel_small(n)
+        kernel = _make_kernel_small(n, chunk)
     elif huge:
-        kernel = _make_kernel_huge(n)
+        kernel = _make_kernel_huge(n, chunk, nblk)
     else:
-        kernel = _make_kernel(n)
+        kernel = _make_kernel(n, chunk, nblk)
     out = pl.pallas_call(
         kernel,
         grid=(mg // mblk,),
@@ -297,7 +313,7 @@ def resample_take(
         ),
         out_shape=jax.ShapeDtypeStruct((d_pad, mg), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3 * d_pad, _NBLK), vals3.dtype),
+            pltpu.VMEM((3 * d_pad, nblk), vals3.dtype),
             pltpu.SemaphoreType.DMA,
         ] if huge else [],
         interpret=interpret,
