@@ -169,7 +169,11 @@ def build(batch: int, num_particles: int, num_beams: int, grid_size: int = 384,
         max_particles=num_particles, min_particles=num_particles,
         sorted_slots=sorted_slots,
     )
-    models, ctx = make_likelihood_field_filter(grid, lookup_mode=lookup_mode)
+    # pooled recovery generation (marginals exact; bootstrap joint among
+    # injected particles — builders.py make_grid_random_state_fn)
+    models, ctx = make_likelihood_field_filter(
+        grid, lookup_mode=lookup_mode, recovery_candidates=256
+    )
 
     @jax.jit
     def init(keys):
@@ -495,7 +499,9 @@ def phase_sync() -> None:
 
             n_mega = 262144
             _sm, ctx_m, st_m, od_m, pts_m, mk_m = build(1, n_mega, BEAMS)
-            models_m, ctx_m = make_likelihood_field_filter(ctx_m["grid"])
+            models_m, ctx_m = make_likelihood_field_filter(
+                ctx_m["grid"], recovery_candidates=256
+            )
             p_m = AmclParams(max_particles=n_mega, min_particles=n_mega // 4,
                              resampling="systematic")
             sm = jax.tree_util.tree_map(lambda l: l[0], st_m)
@@ -515,6 +521,49 @@ def phase_sync() -> None:
                 f"({n_mega / d:.3e} particle-updates/s)")
         except Exception as e:  # noqa: BLE001
             log(f"mega secondary skipped: {type(e).__name__}: {e}")
+
+    # secondary (stderr only): windowed-scan-LUT mega filter — the per-scan
+    # pose-likelihood window around the converged cloud (DFT build ~3 ms)
+    # replaces the per-beam reweight with ONE MXU lookup per particle;
+    # coverage-gated exact fallback (filters/builders.py)
+    if remaining() > 120:
+        try:
+            import jax.numpy as jnp
+
+            from beluga_tpu.filters.amcl import AmclParams, update
+            from beluga_tpu.filters.builders import make_windowed_scan_filter
+
+            n_mega = 262144
+            _sw2, ctx_wm, st_wm, od_wm, pts_wm, mk_wm = build(1, n_mega, BEAMS)
+            models_wm, ctx_wm = make_windowed_scan_filter(
+                ctx_wm["grid"], k_bins=64, win=128, max_point_radius=3.6,
+                recovery_candidates=256,
+            )
+            p_wm = AmclParams(max_particles=n_mega, min_particles=n_mega,
+                              resampling="systematic", sorted_slots=True)
+            swm = jax.tree_util.tree_map(lambda l: l[0], st_wm)
+            wmstep = jax.jit(
+                lambda c, s, o, p, m: update(p_wm, models_wm, c, s, o, p, m)
+            )
+            for i in range(3):
+                swm = swm._replace(force_update=jnp.asarray(True))
+                swm, _ = wmstep(
+                    ctx_wm, swm, jax.tree_util.tree_map(lambda l: l[0], od_wm[i]),
+                    pts_wm[i][0], mk_wm[i][0])
+            jax.block_until_ready(swm)
+            t0 = time.perf_counter()
+            for i in range(6):
+                swm = swm._replace(force_update=jnp.asarray(True))
+                swm, _ = wmstep(
+                    ctx_wm, swm,
+                    jax.tree_util.tree_map(lambda l: l[0], od_wm[3 + i]),
+                    pts_wm[3 + i][0], mk_wm[3 + i][0])
+            jax.block_until_ready(swm)
+            d = max((time.perf_counter() - t0) / 6 - floor, 1e-9)
+            log(f"winlut mega 1x{n_mega} (incl. per-scan window build): "
+                f"{d*1e3:.2f} ms/update ({n_mega / d:.3e} particle-updates/s)")
+        except Exception as e:  # noqa: BLE001
+            log(f"winlut mega secondary skipped: {type(e).__name__}: {e}")
 
     # secondary (stderr only): shared-scan mega filter — the per-scan
     # correlation LUT (Pallas VMEM build) replaces the per-beam reweight;
