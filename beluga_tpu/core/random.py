@@ -116,8 +116,11 @@ def sample_uniform_free_cells_pooled(
     cells (pool entries are iid uniform; slot choices are uniform among
     them).  Deviation from the reference's iid stream is joint-only: two
     outputs of the same call may collide on a pool entry (bootstrap
-    resampling; collision mass ~ n_injected²/2·pool for the injected
-    subset).  Heading stays iid uniform per slot.
+    resampling; expected distinct cells among k injected slots is
+    pool·(1−(1−1/pool)^k) ≈ k − k²/2·pool for k ≪ pool, saturating at
+    ``pool`` for k ≫ pool — callers that may inject k ≫ pool should scale
+    the pool with the request size, as make_grid_random_state_fn does).
+    Heading stays iid uniform per slot.
     """
     from beluga_tpu.ops.pallas_lookup import pallas_pool_take
 

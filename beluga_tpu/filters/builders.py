@@ -61,20 +61,25 @@ def make_grid_random_state_fn(recovery_candidates: int = 0):
 
     ``recovery_candidates > 0`` switches to the pooled generator
     (core/random.py sample_uniform_free_cells_pooled): a fresh pool of
-    that many iid candidate cells per call, slots assigned on the MXU —
-    removes the serialized n-row gather (~2.7 ms per fleet resample,
-    ~5 ms at mega scale) at the cost of bootstrap (not iid-distinct)
-    joint statistics among injected particles; marginals stay exact."""
+    candidate cells per call, slots assigned on the MXU — removes the
+    serialized n-row gather (~2.7 ms per fleet resample, ~5 ms at mega
+    scale) at the cost of bootstrap (not iid-distinct) joint statistics
+    among injected particles; marginals stay exact.  The pool scales with
+    the request size (``max(recovery_candidates, n // 8)``) so
+    relocalization bursts that inject most of the filter still draw from
+    a candidate set proportional to the injection count rather than a
+    fixed 256 cells; full global relocalization (the service path,
+    node.py:134-148) uses the exact iid sampler regardless."""
 
     def random_state(ctx, key, n, particles=None):
         del particles
         grid: OccupancyGrid = ctx["grid"]
-        if recovery_candidates:
+        if recovery_candidates and recovery_candidates < n:
             from beluga_tpu.core.random import sample_uniform_free_cells_pooled
 
             return sample_uniform_free_cells_pooled(
                 key, n, grid.free_xy, grid.num_free,
-                pool=recovery_candidates,
+                pool=min(n, max(recovery_candidates, n // 8)),
             )
         return sample_uniform_free_cells(key, n, grid.free_xy, grid.num_free)
 
@@ -335,7 +340,7 @@ def make_windowed_scan_filter(
     )
     from beluga_tpu.models.sensor.likelihood_field_winlut import (
         build_windowed_scan_lut,
-        windowed_coverage_from_center,
+        windowed_coverage_tiled_from_center,
         windowed_scan_lut_weights,
     )
 
@@ -351,20 +356,28 @@ def make_windowed_scan_filter(
         cx = jnp.mean(states.xy[..., 0])
         cy = jnp.mean(states.xy[..., 1])
         ct = jnp.arctan2(jnp.mean(states.rot.sin), jnp.mean(states.rot.cos))
-        cov = windowed_coverage_from_center(
-            field, states, cx, cy, ct, stride=coverage_stride, **geo
+        # kernel-exact gate: models the per-tile theta-slab, so a
+        # sorted_slots contract violation or an over-spread cloud trips
+        # the exact fallback instead of silently scoring miss
+        cov = windowed_coverage_tiled_from_center(
+            field, states, cx, cy, ct, tile=tile, tblk=tblk, **geo
         )
 
         def fast(_):
             lut = build_windowed_scan_lut(
                 field, points, beam_mask, cx, cy, ct, **geo
             )
-            return jnp.log(
+            # clamp before the log: bf16 Gibbs ringing near unknown-space
+            # discontinuities can push 1 + Σpz³ non-positive, and a single
+            # NaN log-weight poisons the whole normalization (same
+            # convention as the beam path below)
+            return jnp.log(jnp.maximum(
                 windowed_scan_lut_weights(
                     lut, states, tile=tile, tblk=tblk,
                     interpret=not on_tpu,
-                )
-            )
+                ),
+                1e-30,
+            ))
 
         def exact(_):
             if on_tpu:

@@ -262,6 +262,69 @@ def windowed_coverage_from_center(
     return jnp.mean(ok.astype(jnp.float32))
 
 
+def coverage_tiled_from_coords(
+    xi: Array, yi: Array, t: Array,
+    k_bins: int, win: int, tile: int, tblk: int,
+) -> Array:
+    """Fraction of particles the winlut kernel would actually score —
+    including the per-tile θ-slab: ops/pallas_winlut.py gives each
+    ``tile``-lane block a slab of ``tblk`` θ bins based at the clamped
+    floor of the block's min valid t, and particles above the slab score
+    miss.  This mirrors that validity bit-for-bit, so the fast-path gate
+    trips the exact fallback whenever the slot ordering (sorted_slots) or
+    the cloud's θ spread violates the kernel's contract — an unsorted or
+    over-spread cloud can no longer pass the gate and silently score miss
+    (advisor finding r2).
+    """
+    n = xi.shape[0]
+    n_pad = -(-n // tile) * tile
+
+    def pad(v):
+        return jnp.pad(v, (0, n_pad - n), constant_values=-1.0)
+
+    xi_p, yi_p, t_p = pad(xi), pad(yi), pad(t)
+    tt = t_p.reshape(-1, tile)
+    t_in = jnp.where((tt >= 0.0) & (tt < k_bins), tt, jnp.inf)
+    t_lo = jnp.clip(
+        jnp.floor(jnp.min(t_in, axis=1)), 0.0, max(k_bins - tblk, 0)
+    )
+    k0rel = jnp.floor(tt) - t_lo[:, None]
+    ok = (
+        ((xi_p >= 0) & (xi_p < win) & (yi_p >= 0) & (yi_p < win)).reshape(-1, tile)
+        & (k0rel >= 0.0)
+        & (k0rel <= tblk - 2)
+    )
+    return jnp.sum(ok.astype(jnp.float32)) / n
+
+
+def windowed_coverage_tiled_from_center(
+    field: LikelihoodField,
+    states: SE2,
+    center_x: Array,
+    center_y: Array,
+    center_theta: Array,
+    tile: int = 512,
+    tblk: int = 8,
+    k_bins: int = 64,
+    win: int = 128,
+    dth: float = 2.0 * np.pi / 128.0,
+    max_point_radius: float = 4.0,
+    resolution_hint: float | None = None,
+) -> Array:
+    """Kernel-exact coverage (incl. the θ-slab) for a window that *would*
+    be built around ``center_*`` — the production fast-path gate."""
+    x0, y0, theta0, pad = window_geometry(
+        field, center_x, center_y, center_theta, k_bins=k_bins, win=win,
+        dth=dth, max_point_radius=max_point_radius,
+        resolution_hint=resolution_hint,
+    )
+    xi, yi, t = _coords(
+        field.world_to_field, field.resolution, pad, x0, y0, theta0,
+        k_bins, dth, states,
+    )
+    return coverage_tiled_from_coords(xi, yi, t, k_bins, win, tile, tblk)
+
+
 def windowed_coverage(lut: WindowedScanLut, states: SE2, stride: int = 8) -> Array:
     """Fraction of (subsampled) particles the window covers — the fast-path
     gate (below threshold the caller falls back to the exact model)."""

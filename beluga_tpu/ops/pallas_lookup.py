@@ -133,14 +133,21 @@ _POOL_BLOCK = 512  # queries per sublane row (8 rows per program)
 
 def _pool_kernel(idx_ref, pool_ref, out_ref):
     rows, b = idx_ref.shape
-    c, p = pool_ref.shape
+    c3, p = pool_ref.shape
+    c = c3 // 3
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (p, b), 0).astype(jnp.float32)
     for r in range(rows):  # static unroll over the 8 sublane rows
-        oh = (idx_ref[r, :][None, :] == iota_p).astype(jnp.float32)  # [P, B]
-        # one-hot f32 selection is exact (single nonzero per column)
-        out_ref[r, :, :] = jax.lax.dot(
+        oh = (idx_ref[r, :][None, :] == iota_p).astype(pool_ref.dtype)  # [P, B]
+        # 3-plane bf16 rows x one-hot: each product is exact (bf16 value x 1
+        # in f32 accumulation) and the truncation-split planes sum back to
+        # the f32 value bit-for-bit — a plain f32 dot would bf16-quantize
+        # the pool on the MXU (jax.lax.dot DEFAULT precision truncates f32
+        # operands to one bf16 pass; preferred_element_type only sets the
+        # accumulator)
+        sel = jax.lax.dot(
             pool_ref[:], oh, preferred_element_type=jnp.float32
-        )  # [C, B]
+        )  # [3C, B]
+        out_ref[r, :, :] = sel[:c] + sel[c : 2 * c] + sel[2 * c :]
 
 
 def pallas_pool_take(pool: Array, idx: Array, interpret: bool = False) -> Array:
@@ -153,8 +160,12 @@ def pallas_pool_take(pool: Array, idx: Array, interpret: bool = False) -> Array:
     recovery-state generator (core/random.py).
 
     ``pool``: f32[P, C] (C <= 8 columns); ``idx``: integer-valued [N]
-    (any real dtype).  Exact: a one-hot f32 matmul copies rows verbatim.
+    (any real dtype).  Exact: the pool rides the MXU as hi/mid/lo bf16
+    truncation-split planes (pallas_resample._split3), so the copy is
+    bit-exact f32 — the pool is tiny, the 3x matmul cost is negligible.
     """
+    from beluga_tpu.ops.pallas_resample import _split3
+
     p, c = pool.shape
     n = idx.shape[0]
     blk = 8 * _POOL_BLOCK
@@ -162,14 +173,14 @@ def pallas_pool_take(pool: Array, idx: Array, interpret: bool = False) -> Array:
     g = (n + pad) // blk
     idx_f = jnp.pad(idx.astype(jnp.float32), (0, pad), constant_values=-1.0)
     idx_f = idx_f.reshape(8 * g, _POOL_BLOCK)
-    pool_t = pool.T.astype(jnp.float32)  # [C, P]
+    pool_t = _split3(pool.T.astype(jnp.float32))  # bf16 [3C, P]
 
     out = pl.pallas_call(
         _pool_kernel,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((8, _POOL_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (8, c, _POOL_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -189,3 +189,38 @@ def test_winlut_small_map_padding(setup):
     # the exact neighborhood); accuracy is covered on the larger-map test
     assert approx[0] > 1.5 * float(lut.miss)
     np.testing.assert_allclose(approx, exact, rtol=0.5)
+
+
+def test_tiled_coverage_models_theta_slab(setup):
+    """coverage_tiled_from_coords mirrors the kernel's per-tile θ-slab
+    (advisor r2): an unsorted cloud spanning more bins than tblk-1 per
+    tile fails the gate even though every particle is inside the window,
+    while the same cloud θ-sorted passes — and the gate's verdict matches
+    what the kernel actually scores."""
+    from beluga_tpu.models.sensor.likelihood_field_winlut import (
+        windowed_coverage_tiled_from_center,
+    )
+
+    field, points, mask, lut = setup
+    geo = dict(
+        k_bins=32, win=64, dth=2.0 * np.pi / 128.0, max_point_radius=2.5,
+        resolution_hint=0.1,
+    )
+    cx, cy, ct = map(jnp.float32, CENTER)
+    # wide-but-in-window θ spread: 32 bins * dth/2 span, shuffled slots
+    unsorted = _cloud_states(512, spread_xy=0.3, spread_th=0.55, sort=False)
+    cov_unsorted = float(windowed_coverage_tiled_from_center(
+        field, unsorted, cx, cy, ct, tile=128, tblk=8, **geo))
+    sorted_states = _cloud_states(512, spread_xy=0.3, spread_th=0.55, sort=True)
+    cov_sorted = float(windowed_coverage_tiled_from_center(
+        field, sorted_states, cx, cy, ct, tile=128, tblk=8, **geo))
+    assert cov_unsorted < 0.6, cov_unsorted
+    assert cov_sorted > 0.95, cov_sorted
+
+    # the gate's per-particle verdict equals the kernel's: unsorted slots
+    # make the kernel score miss for exactly the particles the gate drops
+    w = np.asarray(
+        windowed_scan_lut_weights(lut, unsorted, tile=128, tblk=8, interpret=True)
+    )
+    frac_scored = np.mean(w != float(lut.miss))
+    assert abs(frac_scored - cov_unsorted) < 0.02, (frac_scored, cov_unsorted)
