@@ -406,6 +406,138 @@ def make_windowed_scan_filter(
     return models, ctx
 
 
+def make_winlut_fleet_update(
+    params,
+    grid: OccupancyGrid,
+    lf_params: LikelihoodFieldParams = LikelihoodFieldParams(),
+    motion_params: Any = DifferentialDriveParams(),
+    k_bins: int = 64,
+    win: int = 128,
+    dth: float = 2.0 * 3.141592653589793 / 128.0,
+    max_point_radius: float = 4.0,
+    tile: int = 512,
+    tblk: int = 16,
+    coverage_threshold: float = 0.98,
+    recovery_candidates: int = 256,
+):
+    """Fleet AMCL through ONE shared windowed pose LUT per update — the
+    headline-throughput path for B filters scoring the *same* scan
+    (Monte Carlo replicas / evaluation sweeps over one robot).
+
+    The ``lax.cond`` coverage gate of :func:`make_windowed_scan_filter`
+    cannot ride under ``vmap`` (it lowers to ``select`` and both paths
+    execute); here the branch sits *outside* the fleet vmap, so it
+    compiles to a real branch:
+
+      1. predict post-propagate particle poses by composing every particle
+         with its filter's noiseless odometry delta (the deterministic
+         part of the diff-drive update);
+      2. build the window around the fleet-global predicted mean and gate
+         on the MIN per-filter kernel-exact coverage (a single diverged
+         filter must trip the fallback — its miss-weights would otherwise
+         degrade silently);
+      3. fast branch: one DFT correlation build (paid once for the whole
+         fleet), winlut MXU lookup vmapped per filter;
+         fallback branch: the exact codebook16 fleet step.
+
+    Contracts: every filter must carry the same scan (``points[0]`` /
+    ``masks[0]`` feed the build); ``params.sorted_slots`` must be set
+    (per-tile θ-slabs).  Returns ``(step, ctx)`` with
+    ``step(ctx, state, odoms, points, masks)`` shaped like
+    ``parallel.fleet.make_fleet_update``'s return.
+
+    Reference behavior: likelihood_field_model.hpp:68-91 semantics through
+    the windowed LUT approximation (accuracy bounds in tests/test_winlut.py
+    and the system gate of tests/test_system_winlut.py).
+    """
+    import functools
+
+    from beluga_tpu.filters.amcl import update
+    from beluga_tpu.models.sensor.likelihood_field_winlut import (
+        build_windowed_scan_lut,
+        windowed_coverage_tiled_from_center,
+        windowed_scan_lut_weights,
+    )
+
+    if not params.sorted_slots:
+        raise ValueError(
+            "make_winlut_fleet_update requires AmclParams(sorted_slots=True): "
+            "the winlut kernel windows each lane tile to a theta slab"
+        )
+
+    on_tpu = jax.default_backend() == "tpu"
+    res_hint = grid.resolution_hint
+    geo = dict(
+        k_bins=k_bins, win=win, dth=dth, max_point_radius=max_point_radius,
+        resolution_hint=res_hint,
+    )
+
+    # exact fallback: the codebook16 fleet configuration (same models/ctx as
+    # make_likelihood_field_filter)
+    models_exact, ctx = make_likelihood_field_filter(
+        grid, lf_params, motion_params,
+        lookup_mode="codebook16" if on_tpu else "auto",
+        recovery_candidates=recovery_candidates,
+    )
+
+    def log_weight_fast(fctx, states, points, beam_mask):
+        del points, beam_mask  # folded into the shared windowed LUT
+        return jnp.log(jnp.maximum(
+            windowed_scan_lut_weights(
+                fctx["winlut"], states, tile=tile, tblk=tblk,
+                interpret=not on_tpu,
+            ),
+            1e-30,
+        ))
+
+    models_fast = models_exact._replace(log_weight=log_weight_fast)
+
+    fast_step = jax.vmap(
+        functools.partial(update, params, models_fast),
+        in_axes=(None, 0, 0, 0, 0),
+    )
+    exact_step = jax.vmap(
+        functools.partial(update, params, models_exact),
+        in_axes=(None, 0, 0, 0, 0),
+    )
+
+    def step(ctx, state, odoms, points, masks):
+        field = ctx["field"]
+        from beluga_tpu.core.particles import tree_where
+
+        # noiseless motion prediction: state ∘ (prev⁻¹ ∘ odom) per filter
+        prev = tree_where(state.control_seeded, state.control_prev, odoms)
+        delta = prev.inverse() @ odoms  # [B]
+        expand = jax.vmap(lambda s, d: s @ d, in_axes=(0, 0))
+        predicted = expand(state.particles.state, delta)  # [B, N]
+
+        flat = jax.tree_util.tree_map(
+            lambda l: l.reshape((-1,) + l.shape[2:]), predicted
+        )
+        cx = jnp.mean(flat.xy[..., 0])
+        cy = jnp.mean(flat.xy[..., 1])
+        ct = jnp.arctan2(jnp.mean(flat.rot.sin), jnp.mean(flat.rot.cos))
+        cov_b = jax.vmap(
+            lambda st: windowed_coverage_tiled_from_center(
+                field, st, cx, cy, ct, tile=tile, tblk=tblk, **geo
+            )
+        )(predicted)
+        use_fast = jnp.min(cov_b) >= coverage_threshold
+
+        def fast(_):
+            lut = build_windowed_scan_lut(
+                field, points[0], masks[0], cx, cy, ct, **geo
+            )
+            return fast_step({**ctx, "winlut": lut}, state, odoms, points, masks)
+
+        def exact(_):
+            return exact_step(ctx, state, odoms, points, masks)
+
+        return jax.lax.cond(use_fast, fast, exact, None)
+
+    return step, ctx
+
+
 def make_beam_filter(
     grid: OccupancyGrid,
     beam_params=None,
