@@ -85,24 +85,19 @@ class AmclParams:
     # slot (views/random_intersperse.hpp:93-115), so K bounds the generation
     # work the same way — random gathers are the serialized op on TPU.
     recovery_pool: int = 0
-    # Keep particle slots in theta-sorted order: the multinomial resampler
-    # skips its slot interleave so donors stay in input (CDF) order, which
-    # preserves any ordering of the inputs (systematic/stratified positions
-    # are sorted by construction and preserve it already).  Slot order is
+    # Keep particle slots in theta-sorted order: slot order is
     # statistically irrelevant to the filter, but theta-sorted slots let
-    # the Pallas reweight kernel window each 512-lane sub-block to a narrow
-    # theta band (ops/pallas_reweight.py fast path).  Requires a fixed
-    # particle count (min == max): the KLD prefix over sorted slots would
-    # be a theta-biased subsample.
+    # the Pallas reweight kernels window each lane sub-block to a narrow
+    # theta band (ops/pallas_reweight.py, ops/pallas_winlut.py).  With a
+    # fixed count (min == max) the resampler keeps donors in input order
+    # (interleave skipped) and re-sorts after injection.  With adaptive
+    # KLD (min < max) the active count is computed on the DRAW-ORDER
+    # candidates first (reference take_while_kld parity — an unbiased
+    # prefix, views/take_while_kld.hpp:72-88), and the theta sort then
+    # moves the kept k particles to the front ordered by theta (dropped
+    # slots last, dead-masked) — so the KLD subset is order-unbiased AND
+    # the live prefix satisfies the kernels' theta-band contract.
     sorted_slots: bool = False
-
-    def __post_init__(self):
-        if self.sorted_slots and self.min_particles < self.max_particles:
-            raise ValueError(
-                "sorted_slots requires a fixed particle count "
-                "(min_particles == max_particles): the KLD prefix over "
-                "theta-sorted slots would be a biased subsample"
-            )
 
 
 class AmclModels(NamedTuple):
@@ -315,6 +310,7 @@ def update(
                 lambda a, b: jnp.where(p_random > 0.0, a, b), ThrunState.init(), thrun
             )
             m = params.max_particles
+            adaptive = params.min_particles < params.max_particles
             if jax.default_backend() == "tpu" and params.resampling in POSITIONERS:
                 # fused Pallas CDF-search + donor copy: the interval mask is
                 # the donor one-hot, the copy rides the MXU (bit-exact;
@@ -323,14 +319,16 @@ def update(
                     # sorted order statistics keep the kernel block-local
                     # (iid positions sweep all blocks: 220 ms vs 4.7 ms at
                     # 262k); exact multinomial donor multiset, interleaved
-                    # slot order
+                    # slot order.  Adaptive KLD needs draw order for the
+                    # unbiased prefix even with sorted_slots (the theta
+                    # sort happens after the count, kept-first).
                     from beluga_tpu.ops.pallas_resample import (
                         resample_take_tree_multinomial,
                     )
 
                     donors = resample_take_tree_multinomial(
                         k_res, particles.weight, particles.state, m,
-                        interleave=not params.sorted_slots,
+                        interleave=adaptive or not params.sorted_slots,
                     )
                 else:
                     from beluga_tpu.ops.pallas_resample import resample_take_tree
@@ -354,26 +352,39 @@ def update(
             else:
                 randoms = models.random_state(ctx, k_rand, m, particles)
                 candidates = tree_where(inject, randoms, donors)
-            if params.sorted_slots:
-                # keep the theta-sorted slot invariant: per-step motion
-                # noise diffuses particle identities across the posterior
-                # (timescale ~(sigma_post/sigma_step)^2 steps), so order
-                # preservation alone decays — re-sort each resample.
-                # lax.sort's compare-exchange network costs ~0.2 ms at
-                # [64, 4096] x 7 operands (NOTES.md).
-                key_fn = models.sort_key or se2_sort_key
-                candidates = tree_sort_by(key_fn(candidates), candidates)
             if params.min_particles >= params.max_particles:
                 # fixed particle count: take_while_kld's `count <= min`
                 # clause takes exactly max particles — skip the spatial
                 # hash + distinct-bucket scan entirely
                 active = jnp.int32(m)
             else:
+                # KLD on the candidates in their draw/CDF order, BEFORE
+                # any theta sort — the prefix-selection semantics of
+                # take_while_kld.hpp:72-88 (the bucket count itself is
+                # order-independent; the prefix is not)
                 hashes = models.hash_state(params, candidates)
                 active = kld_active_count(
                     hashes, params.min_particles, m, params.kld_epsilon,
                     params.kld_z,
                 )
+            if params.sorted_slots:
+                # keep the theta-sorted slot invariant: per-step motion
+                # noise diffuses particle identities across the posterior
+                # (timescale ~(sigma_post/sigma_step)^2 steps), so order
+                # preservation alone decays — re-sort each resample.
+                # lax.sort's compare-exchange network costs ~0.2 ms at
+                # [64, 4096] x 7 operands (NOTES.md).  With adaptive KLD
+                # the kept (first `active`) candidates sort to the front
+                # ordered by theta and the dropped tail sorts last
+                # (dead-masked), so the selected subset is the unbiased
+                # draw-order prefix AND the live slots keep the kernels'
+                # theta-band contract.
+                key_fn = models.sort_key or se2_sort_key
+                sort_keys = key_fn(candidates)
+                if params.min_particles < params.max_particles:
+                    dropped = jnp.arange(m) >= active
+                    sort_keys = sort_keys + 1e6 * dropped.astype(jnp.float32)
+                candidates = tree_sort_by(sort_keys, candidates)
             return make_from_states(candidates, active=active), thrun
 
         def skip_resample_branch(args):

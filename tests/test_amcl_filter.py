@@ -275,3 +275,47 @@ class TestRecoveryPool:
     def test_pool_zero_is_exact_path(self, world):
         counts = self._run(world, pool=0)
         assert max(counts) > 0
+
+
+class TestAdaptiveKldSortedSlots:
+    """sorted_slots + adaptive KLD (min < max) — VERDICT r2 #4.
+
+    The active count is computed on the draw-order candidates (the
+    reference's unbiased take_while_kld prefix), and the theta sort then
+    moves exactly that kept subset to the front ordered by theta."""
+
+    def _run(self, world, sorted_slots, key=11):
+        grid = world[0]
+        params = AmclParams(
+            max_particles=800, min_particles=200, sorted_slots=sorted_slots
+        )
+        state, models, ctx = make_filter(world, params, key=key)
+        pts, mask = simulate_scan(np.asarray(grid.data), 0.1, (5.0, 5.0, 0.0))
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        return params, state
+
+    def test_same_active_count_and_subset_as_unsorted(self, world):
+        _, st_plain = self._run(world, sorted_slots=False)
+        _, st_sorted = self._run(world, sorted_slots=True)
+        n_plain = int(st_plain.particles.active)
+        n_sorted = int(st_sorted.particles.active)
+        # identical keys + draw-order KLD -> identical count
+        assert n_plain == n_sorted
+        assert 200 <= n_sorted <= 800
+
+        # the kept subset is the same multiset of states, just reordered
+        def live_xy(st, n):
+            xy = np.asarray(st.particles.state.xy[:n])
+            return xy[np.lexsort(xy.T)]
+
+        np.testing.assert_allclose(
+            live_xy(st_plain, n_plain), live_xy(st_sorted, n_sorted), atol=1e-6
+        )
+
+    def test_live_prefix_is_theta_sorted(self, world):
+        from beluga_tpu.filters.amcl import se2_sort_key
+
+        _, st = self._run(world, sorted_slots=True)
+        n = int(st.particles.active)
+        keys = np.asarray(se2_sort_key(st.particles.state))[:n]
+        assert np.all(np.diff(keys) >= 0), "live prefix not key-sorted"
