@@ -299,6 +299,15 @@ def make_shared_scan_filter(
     return models, ctx, prepare
 
 
+def _exact_tail_slots(n: int, tile: int, frac: float) -> int:
+    """Suffix length (tile-aligned) scored by the exact model in the
+    hybrid winlut reweight; 0 disables the hybrid."""
+    if frac <= 0.0 or n < 2 * tile:
+        return 0
+    s = max(tile, int(round(n * frac / tile)) * tile)
+    return min(s, n - tile)
+
+
 def make_windowed_scan_filter(
     grid: OccupancyGrid,
     lf_params: LikelihoodFieldParams = LikelihoodFieldParams(),
@@ -312,6 +321,7 @@ def make_windowed_scan_filter(
     coverage_threshold: float = 0.98,
     coverage_stride: int = 8,
     recovery_candidates: int = 0,
+    exact_tail_frac: float = 0.125,
 ):
     """Likelihood-field AMCL through the *windowed* per-scan pose LUT —
     the single-(mega-)filter tracking fast path.
@@ -327,10 +337,20 @@ def make_windowed_scan_filter(
     preserved.
 
     Contracts: single filter only (under ``vmap`` the ``lax.cond`` lowers
-    to ``select`` and both paths execute — use lookup_mode='codebook16'
-    for fleets); requires ``AmclParams(sorted_slots=True)`` (θ-sorted
-    slots keep each lane tile within the kernel's ``tblk``-bin θ slab;
-    out-of-slab particles score the all-beams-unknown miss weight).
+    to ``select`` and both paths execute — use
+    :func:`make_winlut_fleet_update` for fleets); requires
+    ``AmclParams(sorted_slots=True)`` (θ-sorted slots keep each lane tile
+    within the kernel's ``tblk``-bin θ slab).
+
+    **Hybrid tail**: the strays-last sort key (filters/amcl.py
+    se2_sort_key) pools the posterior's diffuse stray tail (~2-10% of
+    slots under the flat pz³ likelihood) into the LAST slots, whose mixed
+    θ blows their tile slabs — scored through the kernel alone they would
+    take the miss weight and hold steady-state coverage below any usable
+    threshold.  The reweight therefore scores the last
+    ``exact_tail_frac`` of slots (tile-aligned) with the exact per-beam
+    model and the prefix with the winlut kernel, and the coverage gate
+    counts the prefix only.  ``exact_tail_frac=0`` disables the hybrid.
 
     Returns ``(models, ctx)``.
     """
@@ -351,16 +371,27 @@ def make_windowed_scan_filter(
         resolution_hint=res_hint,
     )
 
+    def exact_weights(ctx, states, points, beam_mask):
+        if on_tpu:
+            return likelihood_field_weights_codebook(
+                ctx["field"], ctx["field_codes"], states, points, beam_mask
+            )
+        return likelihood_field_weights(ctx["field"], states, points, beam_mask)
+
     def log_weight(ctx, states, points, beam_mask):
         field = ctx["field"]
+        n = states.x.shape[0]
+        s_tail = _exact_tail_slots(n, tile, exact_tail_frac)
+        prefix = jax.tree_util.tree_map(lambda l: l[: n - s_tail], states)
+
         cx = jnp.mean(states.xy[..., 0])
         cy = jnp.mean(states.xy[..., 1])
         ct = jnp.arctan2(jnp.mean(states.rot.sin), jnp.mean(states.rot.cos))
-        # kernel-exact gate: models the per-tile theta-slab, so a
-        # sorted_slots contract violation or an over-spread cloud trips
-        # the exact fallback instead of silently scoring miss
+        # kernel-exact gate on the PREFIX: models the per-tile theta-slab,
+        # so a sorted_slots contract violation or an over-spread cloud
+        # trips the exact fallback instead of silently scoring miss
         cov = windowed_coverage_tiled_from_center(
-            field, states, cx, cy, ct, tile=tile, tblk=tblk, **geo
+            field, prefix, cx, cy, ct, tile=tile, tblk=tblk, **geo
         )
 
         def fast(_):
@@ -371,24 +402,17 @@ def make_windowed_scan_filter(
             # discontinuities can push 1 + Σpz³ non-positive, and a single
             # NaN log-weight poisons the whole normalization (same
             # convention as the beam path below)
-            return jnp.log(jnp.maximum(
-                windowed_scan_lut_weights(
-                    lut, states, tile=tile, tblk=tblk,
-                    interpret=not on_tpu,
-                ),
-                1e-30,
-            ))
+            w = windowed_scan_lut_weights(
+                lut, states, tile=tile, tblk=tblk, interpret=not on_tpu,
+            )
+            if s_tail:
+                tail = jax.tree_util.tree_map(lambda l: l[n - s_tail:], states)
+                w_tail = exact_weights(ctx, tail, points, beam_mask)
+                w = jnp.concatenate([w[: n - s_tail], w_tail])
+            return jnp.log(jnp.maximum(w, 1e-30))
 
         def exact(_):
-            if on_tpu:
-                lik = likelihood_field_weights_codebook(
-                    field, ctx["field_codes"], states, points, beam_mask
-                )
-            else:
-                lik = likelihood_field_weights(
-                    field, states, points, beam_mask
-                )
-            return jnp.log(lik)
+            return jnp.log(exact_weights(ctx, states, points, beam_mask))
 
         return jax.lax.cond(cov >= coverage_threshold, fast, exact, None)
 
@@ -419,6 +443,7 @@ def make_winlut_fleet_update(
     tblk: int = 16,
     coverage_threshold: float = 0.98,
     recovery_candidates: int = 256,
+    exact_tail_frac: float = 0.125,
 ):
     """Fleet AMCL through ONE shared windowed pose LUT per update — the
     headline-throughput path for B filters scoring the *same* scan
@@ -481,14 +506,25 @@ def make_winlut_fleet_update(
     )
 
     def log_weight_fast(fctx, states, points, beam_mask):
-        del points, beam_mask  # folded into the shared windowed LUT
-        return jnp.log(jnp.maximum(
+        # hybrid tail (see make_windowed_scan_filter): the strays-last
+        # sort pools each filter's stray tail into its last slots; score
+        # those with the exact model, the prefix through the shared LUT
+        n = states.x.shape[0]
+        s_tail = _exact_tail_slots(n, tile, exact_tail_frac)
+        log_w = jnp.log(jnp.maximum(
             windowed_scan_lut_weights(
                 fctx["winlut"], states, tile=tile, tblk=tblk,
                 interpret=not on_tpu,
             ),
             1e-30,
         ))
+        if s_tail:
+            tail = jax.tree_util.tree_map(lambda l: l[n - s_tail:], states)
+            logw_tail = models_exact.log_weight(
+                fctx, tail, points, beam_mask
+            )
+            log_w = jnp.concatenate([log_w[: n - s_tail], logw_tail])
+        return log_w
 
     models_fast = models_exact._replace(log_weight=log_weight_fast)
 
@@ -517,9 +553,13 @@ def make_winlut_fleet_update(
         cx = jnp.mean(flat.xy[..., 0])
         cy = jnp.mean(flat.xy[..., 1])
         ct = jnp.arctan2(jnp.mean(flat.rot.sin), jnp.mean(flat.rot.cos))
+        n = predicted.x.shape[1]
+        s_tail = _exact_tail_slots(n, tile, exact_tail_frac)
         cov_b = jax.vmap(
             lambda st: windowed_coverage_tiled_from_center(
-                field, st, cx, cy, ct, tile=tile, tblk=tblk, **geo
+                field,
+                jax.tree_util.tree_map(lambda l: l[: n - s_tail], st),
+                cx, cy, ct, tile=tile, tblk=tblk, **geo,
             )
         )(predicted)
         use_fast = jnp.min(cov_b) >= coverage_threshold
