@@ -1,0 +1,378 @@
+"""Benchmark config-matrix runner + report generator.
+
+The analog of the reference's ``beluga_benchmark`` package: where it runs
+a nav2/beluga config matrix under ``timem`` (RSS/CPU capture,
+``beluga_benchmark/timem_results.py``), compares runs
+(``compare_results.py``) and publishes reports with tables/plots
+(``beluga_benchmark/docs/reports/*/REPORT.md``), this module runs the
+BASELINE.json config matrix on the active backend, captures per-config
+latency / throughput / device-memory / host-RSS, and writes a Markdown
+report plus a machine-readable JSON.
+
+    python -m benchmarks.report [--out benchmarks/REPORT.md]
+                                [--json benchmarks/report.json]
+                                [--compare old_report.json]
+                                [--configs 1,2,5] [--quick]
+
+Memory capture: device peak bytes via ``device.memory_stats()`` (absent on
+CPU backends -> null), host RSS via ``resource.getrusage`` (the
+``timem`` analog).  ``--compare`` renders a delta column against a prior
+run's JSON (the ``compare_results.py`` role).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+
+def _now_rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _device_mem():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:  # noqa: BLE001 - backend without memory_stats
+        return None
+    if not stats:
+        return None
+    return {
+        "bytes_in_use": stats.get("bytes_in_use"),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        "bytes_limit": stats.get("bytes_limit"),
+    }
+
+
+def _timeit(fn, *args, iters=8):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _row(name, desc, ms_per_update, particles, extra=None):
+    return {
+        "config": name,
+        "description": desc,
+        "ms_per_update": round(ms_per_update * 1e3, 3),
+        "particle_updates_per_s": round(particles / ms_per_update, 1),
+        "device_mem": _device_mem(),
+        "host_rss_mb": round(_now_rss_mb(), 1),
+        **(extra or {}),
+    }
+
+
+# ---------------------------------------------------------------------------
+# configs (BASELINE.json matrix, single-chip rows)
+# ---------------------------------------------------------------------------
+
+
+def config_1_node_lf(quick):
+    """#1: 2D MCL, likelihood field + diff drive, nav2 node config."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from beluga_tpu.filters.amcl import AmclParams, update
+    from beluga_tpu.filters.builders import make_likelihood_field_filter
+
+    n = 2048
+    built = B.build(1, n, 60, grid_size=192 if quick else 384)
+    _, ctx, state, odoms, pts, mks, _ = built
+    models, ctx = make_likelihood_field_filter(ctx["grid"], lookup_mode="auto")
+    params = AmclParams(max_particles=n, min_particles=512)
+    take0 = lambda t: jax.tree_util.tree_map(lambda l: l[0], t)  # noqa: E731
+    st = take0(state)
+    step = jax.jit(lambda s, o, p, m: update(params, models, ctx, s, o, p, m))
+
+    def forced(s, o, p, m):
+        s = s._replace(force_update=jnp.asarray(True))
+        return step(s, o, p, m)
+
+    s = st
+    for i in range(2):
+        s, _ = forced(s, take0(odoms[i]), pts[i][0], mks[i][0])
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    iters = 4 if quick else 8
+    for i in range(iters):
+        s, _ = forced(s, take0(odoms[2 + i]), pts[2 + i][0], mks[2 + i][0])
+    jax.block_until_ready(s)
+    d = (time.perf_counter() - t0) / iters
+    return _row("1-node-lf", "2D MCL likelihood-field + diff-drive, "
+                "2048 particles x 60 beams, single filter", d, n)
+
+
+def config_2_beam_kld(quick):
+    """#2: AMCL parity — beam model (range LUT) + adaptive KLD."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from beluga_tpu.filters.amcl import AmclParams, update
+    from beluga_tpu.filters.builders import make_beam_filter
+    from beluga_tpu.models.sensor.beam import BeamModelParams
+
+    n = 2048
+    built = B.build(1, n, 60, grid_size=192)
+    _, ctx, state, odoms, pts, mks, _ = built
+    models, ctx = make_beam_filter(
+        ctx["grid"], beam_params=BeamModelParams(beam_max_range=9.0),
+        use_range_lut=True,
+    )
+    params = AmclParams(max_particles=n, min_particles=512)
+    take0 = lambda t: jax.tree_util.tree_map(lambda l: l[0], t)  # noqa: E731
+    s = take0(state)
+    step = jax.jit(lambda s, o, p, m: update(params, models, ctx, s, o, p, m))
+    for i in range(2):
+        s = s._replace(force_update=jnp.asarray(True))
+        s, _ = step(s, take0(odoms[i]), pts[i][0], mks[i][0])
+    jax.block_until_ready(s)
+    iters = 4 if quick else 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s = s._replace(force_update=jnp.asarray(True))
+        s, _ = step(s, take0(odoms[2 + i]), pts[2 + i][0], mks[2 + i][0])
+    jax.block_until_ready(s)
+    d = (time.perf_counter() - t0) / iters
+    return _row("2-beam-kld", "Beam sensor model (CDDT range LUT) + "
+                "adaptive KLD 512-2048, 60 beams", d, n)
+
+
+def config_3_resampling_sweep(quick):
+    """#3: resampling-strategy sweep on the fleet workload."""
+    import jax
+
+    import bench as B
+    from beluga_tpu.filters.amcl import AmclParams
+    from beluga_tpu.filters.builders import make_likelihood_field_filter
+    from beluga_tpu.parallel.fleet import make_fleet_update
+
+    batch, n = (8, 1024) if quick else (16, 4096)
+    rows = []
+    for strategy in ("multinomial", "systematic", "stratified", "residual"):
+        built = B.build(batch, n, 60, grid_size=192)
+        _, ctx, state, odoms, pts, mks, _ = built
+        models, ctx = make_likelihood_field_filter(
+            ctx["grid"], lookup_mode="auto", recovery_candidates=256
+        )
+        params = AmclParams(
+            max_particles=n, min_particles=n, resampling=strategy
+        )
+        step = jax.jit(make_fleet_update(params, models), donate_argnums=(1,))
+        s = state
+        for i in range(2):
+            s, _ = step(ctx, s, odoms[i], pts[i], mks[i])
+        jax.block_until_ready(s)
+        iters = 3 if quick else 6
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s, _ = step(ctx, s, odoms[2 + i], pts[2 + i], mks[2 + i])
+        jax.block_until_ready(s)
+        d = (time.perf_counter() - t0) / iters
+        rows.append(_row(
+            f"3-resample-{strategy}",
+            f"{strategy} resampling, fleet {batch}x{n}x60", d, batch * n,
+        ))
+    return rows
+
+
+def config_4_vdb(quick):
+    """#4: 3D sparse-voxel (VDB-style) likelihood, SE3 particles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beluga_tpu.core.random import sample_normal_se3
+    from beluga_tpu.filters.amcl import AmclParams, init_state, update
+    from beluga_tpu.filters.vdb_builders import make_vdb_filter_3d
+    from beluga_tpu.lie import SE3, SO3
+    from beluga_tpu.maps.voxel import make_distance_grid_from_points
+
+    n = 16384 if quick else 131072
+    rng = np.random.default_rng(4)
+    wpts = [[x, y, 0.0] for x in np.arange(0, 8, 0.25)
+            for y in np.arange(0, 8, 0.25)]
+    wpts += [[5.0, 5.0, z] for z in np.arange(0, 2.0, 0.2)]
+    grid = make_distance_grid_from_points(wpts, 0.2, max_distance=5.0)
+    models, ctx = make_vdb_filter_3d(grid, voxel_size_hint=0.2)
+    params = AmclParams(max_particles=n, min_particles=n // 4)
+    meas = np.asarray([[5.0, 5.0, z] for z in np.arange(0, 2.0, 0.2)]
+                      + [[t, 0.0, 1.0] for t in np.arange(0, 8, 0.4)])
+    sel = meas[rng.integers(0, len(meas), 80)]
+    pts = jnp.asarray((sel - [3.0, 3.0, 0.0]).astype(np.float32))
+    mask = jnp.ones(len(pts), bool)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    mean = SE3(jnp.asarray([3.0, 3.0, 0.0], jnp.float32),
+               SO3.from_rpy(jnp.float32(0), jnp.float32(0), jnp.float32(0)))
+    s = init_state(k2, sample_normal_se3(k1, n, mean, jnp.eye(6) * 0.05),
+                   params, odom_identity=SE3.identity())
+    step = jax.jit(lambda s, p, m: update(
+        params, models, ctx, s._replace(force_update=jnp.asarray(True)),
+        SE3.identity(), p, m))
+    for _ in range(2):
+        s, _ = step(s, pts, mask)
+    jax.block_until_ready(s)
+    iters = 3 if quick else 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, _ = step(s, pts, mask)
+    jax.block_until_ready(s)
+    d = (time.perf_counter() - t0) / iters
+    return _row("4-vdb-3d", f"3D VDB-style distance-field likelihood, "
+                f"{n} SE3 particles x 80 points", d, n)
+
+
+def config_5_fleet(quick):
+    """#5 (single-chip row): the headline fleet workload."""
+    import jax
+
+    import bench as B
+    from beluga_tpu.filters.amcl import AmclParams
+    from beluga_tpu.filters.builders import make_winlut_fleet_update
+
+    batch, n = (8, 1024) if quick else (64, 4096)
+    built = B.build(batch, n, 60, grid_size=192 if quick else 384,
+                    lookup_mode="codebook16")
+    _, ctx, state, odoms, pts, mks, _ = built
+    params = AmclParams(max_particles=n, min_particles=n, sorted_slots=True)
+    wstep, wctx = make_winlut_fleet_update(
+        params, ctx["grid"], k_bins=64, win=128, max_point_radius=3.6,
+    )
+    step = jax.jit(wstep, donate_argnums=(1,))
+    s = state
+    for i in range(3):
+        s, _ = step(wctx, s, odoms[i], pts[i], mks[i])
+    jax.block_until_ready(s)
+    iters = 3 if quick else 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s, _ = step(wctx, s, odoms[3 + i], pts[3 + i], mks[3 + i])
+    jax.block_until_ready(s)
+    d = (time.perf_counter() - t0) / iters
+    return _row("5-fleet-winlut", f"fleet {batch}x{n}x60, hybrid windowed-"
+                "scan LUT reweight", d, batch * n)
+
+
+CONFIGS = {
+    "1": config_1_node_lf,
+    "2": config_2_beam_kld,
+    "3": config_3_resampling_sweep,
+    "4": config_4_vdb,
+    "5": config_5_fleet,
+}
+
+
+# ---------------------------------------------------------------------------
+# report rendering
+# ---------------------------------------------------------------------------
+
+
+def render_markdown(rows, meta, compare=None):
+    old = {r["config"]: r for r in (compare or {}).get("rows", [])}
+    lines = [
+        "# Benchmark report",
+        "",
+        f"- date: {meta['date']}",
+        f"- backend: {meta['backend']} ({meta['device']})",
+        f"- jax: {meta['jax_version']}",
+        "",
+        "Reference role: `beluga_benchmark` (config matrix + timem RSS "
+        "capture + compare_results) — see SURVEY.md L10 and "
+        "`beluga_benchmark/docs/reports/`.",
+        "",
+    ]
+    hdr = "| config | description | ms/update | particle-updates/s | peak HBM (MB) | host RSS (MB) |"
+    sep = "|---|---|---|---|---|---|"
+    if old:
+        hdr += " vs prev |"
+        sep += "---|"
+    lines += [hdr, sep]
+    for r in rows:
+        mem = r.get("device_mem") or {}
+        peak = mem.get("peak_bytes_in_use")
+        peak_s = f"{peak/2**20:.0f}" if peak else "n/a"
+        row = (f"| {r['config']} | {r['description']} | {r['ms_per_update']} "
+               f"| {r['particle_updates_per_s']:.3e} | {peak_s} "
+               f"| {r['host_rss_mb']} |")
+        if old:
+            prev = old.get(r["config"])
+            if prev:
+                ratio = prev["ms_per_update"] / max(r["ms_per_update"], 1e-9)
+                row += f" {ratio:.2f}x |"
+            else:
+                row += " new |"
+        lines.append(row)
+    lines += [
+        "",
+        "Notes:",
+        "- ms/update excludes per-call dispatch only where stated; numbers",
+        "  on remote backends are synchronous-mode (see NOTES.md).",
+        "- Reference baseline (i9-9900, 16 threads) sustains ~1.4M",
+        "  beam-evals/s/core at real-time replay (BASELINE.md); rows above",
+        "  are one TPU chip.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/REPORT.md")
+    ap.add_argument("--json", default="benchmarks/report.json")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--compare", default=None,
+                    help="prior report.json to diff against")
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    rows = []
+    for c in args.configs.split(","):
+        c = c.strip()
+        try:
+            out = CONFIGS[c](args.quick)
+        except Exception as e:  # noqa: BLE001 - keep the matrix going
+            print(f"config {c} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        rows.extend(out if isinstance(out, list) else [out])
+        print(json.dumps(rows[-1]), flush=True)
+
+    meta = {
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "jax_version": jax.__version__,
+    }
+    compare = None
+    if args.compare and os.path.exists(args.compare):
+        with open(args.compare) as f:
+            compare = json.load(f)
+    report = {"meta": meta, "rows": rows}
+    with open(args.json, "w") as f:
+        json.dump(report, f, indent=1)
+    with open(args.out, "w") as f:
+        f.write(render_markdown(rows, meta, compare))
+    print(f"wrote {args.out} and {args.json}")
+
+
+if __name__ == "__main__":
+    main()
