@@ -26,8 +26,15 @@ from beluga_tpu.models.sensor.ndt import NdtModelParams
 from beluga_tpu.node import ScanResult
 
 
-class NdtAmclNode:
-    """2D NDT AMCL over SE2 states; measurements are 2D point clouds."""
+from beluga_tpu.lifecycle import BaseLifecycleNode
+
+
+class NdtAmclNode(BaseLifecycleNode):
+    """2D NDT AMCL over SE2 states; measurements are 2D point clouds.
+
+    Managed lifecycle (BaseAMCLNode contract, ros2_common.hpp:59-145) —
+    see beluga_tpu/lifecycle.py; autostart default keeps the plain
+    construct-and-call surface working."""
 
     dim = 2
 
@@ -36,15 +43,32 @@ class NdtAmclNode:
         config: AmclNodeConfig | None = None,
         ndt_params: NdtModelParams = NdtModelParams(minimum_likelihood=1e-6),
         seed: int = 0,
+        autostart: bool = True,
     ):
         self.config = config or AmclNodeConfig()
-        self.params = self.config.amcl_params()
         self.ndt_params = ndt_params
-        self._key = jax.random.PRNGKey(seed)
+        self._seed = seed
+        self.last_known_estimate = None
+        self._reset_runtime()
+        super().__init__(autostart=autostart)
+
+    def _reset_runtime(self):
+        self.params = self.config.amcl_params()
+        self._key = jax.random.PRNGKey(self._seed)
         self._models = None
         self._ctx = None
         self._state = None
         self._step = None
+
+    def do_configure(self):
+        self.params = self.config.amcl_params()
+
+    def do_cleanup(self):
+        # retain last_known_estimate across cleanup -> reconfigure
+        self._reset_runtime()
+
+    def do_shutdown(self):
+        self._reset_runtime()
         self.last_known_estimate = None
 
     def set_map_path(self, hdf5_path: str) -> None:
@@ -57,7 +81,12 @@ class NdtAmclNode:
             functools.partial(amcl_filter.update, self.params, self._models)
         )
         if self._state is None:
-            self.set_initial_pose()
+            if self.last_known_estimate is not None:
+                # estimate retention across cleanup -> reconfigure
+                pose, cov = self.last_known_estimate
+                self.set_initial_pose(pose[0], pose[1], pose[2], cov)
+            else:
+                self.set_initial_pose()
 
     def _build(self, ndt_map):
         return make_ndt_filter_2d(
@@ -99,6 +128,8 @@ class NdtAmclNode:
     def handle_point_cloud(self, odom_pose_xytheta, points, point_mask=None) -> ScanResult:
         """One update from ``(odom pose (x, y, yaw), 2D points [P, 2])``."""
         assert self._state is not None, "set_map first"
+        if not self.is_active:
+            return ScanResult(False, None, None, None, 0.0)
         t0 = time.perf_counter()
         odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
         pts = jnp.asarray(points, jnp.float32)

@@ -16,6 +16,16 @@ any stream/replay/serving pipeline:
   * ``handle_scan`` — one filter update from (odom pose, scan points);
     returns the pose estimate and the map→odom correction transform
     (amcl_node.cpp:581-647)
+
+Lifecycle: the node derives from :class:`beluga_tpu.lifecycle
+.BaseLifecycleNode` (the BaseAMCLNode contract, ros2_common.hpp:59-145):
+``configure/activate/deactivate/cleanup/shutdown`` transitions with
+``do_*`` extension points, ``autostart`` (default True, so plain
+construct-and-call use keeps working), a 200 ms periodic viz timer
+(fired cooperatively via ``tick()``), and estimate retention across
+cleanup → reconfigure cycles (amcl_node KeepCurrentEstimateAfterCleanup,
+test_amcl_node.cpp:387-485).  Scans arriving while not ACTIVE are
+dropped (subscriptions exist only when active in the reference).
 """
 
 from __future__ import annotations
@@ -46,22 +56,56 @@ class ScanResult:
     latency_s: float
 
 
-class AmclNode:
-    """2D AMCL node over occupancy-grid maps."""
+from beluga_tpu.lifecycle import BaseLifecycleNode
+
+
+class AmclNode(BaseLifecycleNode):
+    """2D AMCL node over occupancy-grid maps (managed lifecycle)."""
 
     def __init__(self, config: AmclNodeConfig | None = None, seed: int = 0,
-                 verbose: bool = False):
+                 verbose: bool = False, autostart: bool = True):
         self.config = config or AmclNodeConfig()
         self.verbose = verbose
+        self._seed = seed
+        self.latest_viz: tuple[np.ndarray, np.ndarray] | None = None
+        self.dropped_scans = 0
+        self.last_known_estimate: tuple[np.ndarray, np.ndarray] | None = None
+        self._reset_runtime()
+        super().__init__(autostart=autostart)
+
+    def _reset_runtime(self) -> None:
         self.params = self.config.amcl_params()
-        self._key = jax.random.PRNGKey(seed)
+        self._key = jax.random.PRNGKey(self._seed)
         self._models = None
         self._ctx = None
         self._state = None
         self._grid: OccupancyGrid | None = None
         self._step = None
-        self.last_known_estimate: tuple[np.ndarray, np.ndarray] | None = None
         self._first_map_set = False
+
+    # -- lifecycle hooks (ros2_common.hpp do_* virtuals) --------------------
+
+    def do_configure(self) -> None:
+        # parameters are (re)read at configure time; runtime structures are
+        # built lazily by the first map (amcl_node.cpp get_initial_estimate
+        # + map subscription on configure)
+        self.params = self.config.amcl_params()
+
+    def do_cleanup(self) -> None:
+        # drop the filter and map but RETAIN last_known_estimate: a later
+        # configure + map re-initializes from it
+        # (test_amcl_node.cpp KeepCurrentEstimateAfterCleanup)
+        self._reset_runtime()
+
+    def do_shutdown(self) -> None:
+        self._reset_runtime()
+        self.last_known_estimate = None
+
+    def do_periodic_timer_callback(self) -> None:
+        # the 200 ms viz timer: snapshot the particle cloud (the
+        # particle_cloud/particle_markers publisher analog)
+        if self._state is not None:
+            self.latest_viz = self.particle_cloud()
 
     # -- map handling (amcl_node.cpp:435-497) -------------------------------
 
@@ -164,6 +208,10 @@ class AmclNode:
           point_mask: ``bool[B]`` valid-beam mask (default all valid).
         """
         assert self._state is not None, "node not initialized (set_map first)"
+        if not self.is_active:
+            # scans are only subscribed while ACTIVE in the reference
+            self.dropped_scans += 1
+            return ScanResult(False, None, None, None, 0.0)
         t0 = time.perf_counter()
         odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
         pts = jnp.asarray(points, jnp.float32)

@@ -199,3 +199,128 @@ def test_public_api_importable():
 
     for name in bt.__all__:
         assert hasattr(bt, name), name
+
+
+class TestLifecycle:
+    """BaseAMCLNode lifecycle contract (ros2_common.hpp:59-145,
+    test_amcl_node.cpp:387-485 analog) — VERDICT r2 #8."""
+
+    def _map(self):
+        from beluga_tpu.maps.occupancy import OCCUPIED_VALUE, make_grid
+
+        data = np.zeros((40, 40), np.int8)
+        data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCCUPIED_VALUE
+        data[18:22, 25:29] = OCCUPIED_VALUE
+        return make_grid(data, 0.1)
+
+    def _scan(self):
+        rng = np.random.default_rng(0)
+        a = np.linspace(-np.pi, np.pi, 30, endpoint=False)
+        r = rng.uniform(0.4, 1.6, 30)
+        return np.stack([r * np.cos(a), r * np.sin(a)], -1).astype(np.float32)
+
+    def test_transition_ordering(self):
+        from beluga_tpu.lifecycle import LifecycleError, LifecycleState
+        from beluga_tpu.node import AmclNode
+
+        node = AmclNode(AmclNodeConfig(max_particles=128, min_particles=32),
+                        autostart=False)
+        assert node.lifecycle_state is LifecycleState.UNCONFIGURED
+        with pytest.raises(LifecycleError):
+            node.activate()  # must configure first
+        node.configure()
+        assert node.lifecycle_state is LifecycleState.INACTIVE
+        with pytest.raises(LifecycleError):
+            node.configure()  # already configured
+        node.activate()
+        assert node.is_active
+        node.deactivate()
+        node.cleanup()
+        assert node.lifecycle_state is LifecycleState.UNCONFIGURED
+        node.configure()
+        node.shutdown()
+        assert node.lifecycle_state is LifecycleState.FINALIZED
+        assert node.transition_log == [
+            "configure", "activate", "deactivate", "cleanup", "configure",
+            "shutdown",
+        ]
+
+    def test_autostart_reaches_active(self):
+        from beluga_tpu.lifecycle import LifecycleState
+        from beluga_tpu.node import AmclNode
+
+        node = AmclNode(AmclNodeConfig(max_particles=128, min_particles=32))
+        assert node.lifecycle_state is LifecycleState.ACTIVE
+
+    def test_inactive_drops_scans(self):
+        from beluga_tpu.node import AmclNode
+
+        cfg = AmclNodeConfig(
+            max_particles=128, min_particles=32,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+        )
+        node = AmclNode(cfg)
+        node.set_map(self._map())
+        node.deactivate()
+        res = node.handle_scan((2.0, 2.0, 0.0), self._scan())
+        assert not res.valid and node.dropped_scans == 1
+        node.activate()
+        res = node.handle_scan((2.0, 2.0, 0.0), self._scan())
+        assert res.valid
+
+    def test_cleanup_retains_estimate(self):
+        from beluga_tpu.node import AmclNode
+
+        cfg = AmclNodeConfig(
+            max_particles=256, min_particles=64,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+        )
+        node = AmclNode(cfg)
+        node.set_map(self._map())
+        res = node.handle_scan((2.0, 2.0, 0.0), self._scan())
+        assert res.valid
+        est_before = node.last_known_estimate[0].copy()
+
+        node.deactivate()
+        node.cleanup()
+        assert node._state is None  # filter dropped
+        assert node.last_known_estimate is not None  # estimate retained
+        node.configure()
+        node.activate()
+        node.set_map(self._map())
+        # re-initialized around the retained estimate
+        xyt, _ = node.particle_cloud()
+        assert abs(np.mean(xyt[:, 0]) - est_before[0]) < 0.5
+        assert abs(np.mean(xyt[:, 1]) - est_before[1]) < 0.5
+
+    def test_periodic_viz_timer(self):
+        from beluga_tpu.node import AmclNode
+
+        cfg = AmclNodeConfig(
+            max_particles=128, min_particles=32,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+        )
+        node = AmclNode(cfg)
+        node.set_map(self._map())
+        assert node.latest_viz is None
+        fired = node.tick(now=1e18)  # force the 200 ms timer due
+        assert fired == 1
+        assert node.latest_viz is not None
+        poses, weights = node.latest_viz
+        assert len(poses) == len(weights) > 0
+        # timer removed on deactivate
+        node.deactivate()
+        assert node.tick(now=2e18) == 0
+
+    def test_ndt_node_lifecycle(self):
+        from beluga_tpu.lifecycle import LifecycleState
+        from beluga_tpu.ndt_node import NdtAmclNode
+
+        node = NdtAmclNode(AmclNodeConfig(max_particles=128, min_particles=32),
+                           autostart=False)
+        assert node.lifecycle_state is LifecycleState.UNCONFIGURED
+        node.configure()
+        node.activate()
+        node.deactivate()
+        node.cleanup()
+        assert node.lifecycle_state is LifecycleState.UNCONFIGURED
