@@ -67,6 +67,20 @@ class ScanSimulator:
         )
         return dist, hit
 
+    def ranges(self, pose: SE2, key: Array | None = None,
+               noise_sigma: float = 0.0) -> np.ndarray:
+        """Raw undecimated range array with NaN for no-return beams — the
+        ``sensor_msgs/LaserScan.ranges`` wire format, for recording
+        synthetic bags (tests/test_system_bag.py)."""
+        dist, hit = self._cast(pose)
+        dist = np.asarray(dist)
+        hit = np.asarray(hit)
+        if noise_sigma > 0.0 and key is not None:
+            dist = dist + np.asarray(
+                jax.random.normal(key, dist.shape, jnp.float32) * noise_sigma
+            )
+        return np.where(hit, dist, np.nan).astype(np.float32)
+
     def scan(self, pose: SE2, key: Array | None = None, noise_sigma: float = 0.0):
         """Simulate one scan from a world-frame pose.
 
