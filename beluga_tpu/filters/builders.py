@@ -65,7 +65,7 @@ def make_grid_random_state_fn(recovery_candidates: int = 0):
     serialized n-row gather (~2.7 ms per fleet resample, ~5 ms at mega
     scale) at the cost of bootstrap (not iid-distinct) joint statistics
     among injected particles; marginals stay exact.  The pool scales with
-    the request size (``max(recovery_candidates, n // 8)``, capped at 8192
+    the request size (``max(recovery_candidates, n // 8)``, capped at 4096
     — the pool-take kernel's scoped-VMEM budget caps the one-hot at
     ~16k x 512 lanes) so relocalization bursts that inject most of the
     filter draw from a candidate set proportional to the injection count
@@ -80,7 +80,7 @@ def make_grid_random_state_fn(recovery_candidates: int = 0):
 
             return sample_uniform_free_cells_pooled(
                 key, n, grid.free_xy, grid.num_free,
-                pool=min(n, max(recovery_candidates, n // 8), 8192),
+                pool=min(n, max(recovery_candidates, n // 8), 4096),
             )
         return sample_uniform_free_cells(key, n, grid.free_xy, grid.num_free)
 
