@@ -292,6 +292,16 @@ def phase_combined() -> None:
 
     runner.run(4)  # settle into the converged tracking regime
     per_step = runner.run(iters=12, floor=floor)
+    # Sync mode can be LOST silently (a remote-compile error resets the
+    # session, observed in r3); re-probe and re-switch once if needed.
+    dt2 = _timeit(f, a, iters=4)
+    if 2 * m**3 / dt2 > 0.25 * V5E_PEAK_F32_FLOPS:
+        log("session dropped sync mode mid-measure; re-switching")
+        t0 = time.perf_counter()
+        jax.device_get(jnp.ones(2))
+        log(f"re-switch: {time.perf_counter() - t0:.0f}s")
+        floor = _timeit(floor_fn, jnp.ones(8), iters=10)
+        per_step = runner.run(iters=12, floor=floor)
     ups = BATCH * NPART / per_step
     log(f"sync: {ups:.3e} updates/s ({per_step*1e3:.2f} ms/step)")
     print(json.dumps({"value": ups, "mode": "synchronous",
