@@ -353,6 +353,14 @@ def make_windowed_scan_filter(
     model and the prefix with the winlut kernel, and the coverage gate
     counts the prefix only.  ``exact_tail_frac=0`` disables the hybrid.
 
+    **Scan-replay caveat**: inside ``lax.scan`` XLA flattens the gate's
+    ``lax.cond`` to a select, so BOTH reweights execute every step and
+    the fast path saves nothing.  ``coverage_threshold <= 0`` removes the
+    gate and the exact branch from the graph entirely (hybrid winlut
+    only) — for gap-free tracking replays (e.g. the bench tracking
+    workload) where the system-tested gated config has established the
+    accuracy envelope; recovery-burst regimes must keep the gate.
+
     Returns ``(models, ctx)``.
     """
     from beluga_tpu.models.sensor.likelihood_field import (
@@ -383,17 +391,10 @@ def make_windowed_scan_filter(
         field = ctx["field"]
         n = states.x.shape[0]
         s_tail = _exact_tail_slots(n, tile, exact_tail_frac)
-        prefix = jax.tree_util.tree_map(lambda l: l[: n - s_tail], states)
 
         cx = jnp.mean(states.xy[..., 0])
         cy = jnp.mean(states.xy[..., 1])
         ct = jnp.arctan2(jnp.mean(states.rot.sin), jnp.mean(states.rot.cos))
-        # kernel-exact gate on the PREFIX: models the per-tile theta-slab,
-        # so a sorted_slots contract violation or an over-spread cloud
-        # trips the exact fallback instead of silently scoring miss
-        cov = windowed_coverage_tiled_from_center(
-            field, prefix, cx, cy, ct, tile=tile, tblk=tblk, **geo
-        )
 
         def fast(_):
             lut = build_windowed_scan_lut(
@@ -411,6 +412,19 @@ def make_windowed_scan_filter(
                 w_tail = exact_weights(ctx, tail, points, beam_mask)
                 w = jnp.concatenate([w[: n - s_tail], w_tail])
             return jnp.log(jnp.maximum(w, 1e-30))
+
+        if coverage_threshold <= 0.0:
+            # gate-free tracking mode: no exact branch in the graph (see
+            # the scan-replay caveat in the docstring)
+            return fast(None)
+
+        prefix = jax.tree_util.tree_map(lambda l: l[: n - s_tail], states)
+        # kernel-exact gate on the PREFIX: models the per-tile theta-slab,
+        # so a sorted_slots contract violation or an over-spread cloud
+        # trips the exact fallback instead of silently scoring miss
+        cov = windowed_coverage_tiled_from_center(
+            field, prefix, cx, cy, ct, tile=tile, tblk=tblk, **geo
+        )
 
         def exact(_):
             return jnp.log(exact_weights(ctx, states, points, beam_mask))

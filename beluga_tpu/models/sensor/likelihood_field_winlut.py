@@ -120,7 +120,13 @@ def window_geometry(
     # padded image
     x0 = jnp.clip(cx - win // 2, pad, wp - win - pad)
     y0 = jnp.clip(cy - win // 2, pad, hp - win - pad)
-    theta0 = tf_center.theta - (k_bins // 2) * dth
+    # θ grid anchored ABSOLUTELY (quantized to dth), like the cell-quantized
+    # xy origin — a grid anchored to the cloud mean gives the mean-θ
+    # particles exact bin values while off-mean particles pay the lerp
+    # underestimate, a self-reinforcing pull toward the filter's own mean
+    # that random-walks the estimate (measured: gate-free mega drift to
+    # ~1.2 m where the exact model equilibrates at 0.1 m)
+    theta0 = (jnp.floor(tf_center.theta / dth) - (k_bins // 2)) * dth
     return x0, y0, theta0, pad
 
 
@@ -212,8 +218,12 @@ def build_windowed_scan_lut(
 
 def _coords(world_to_field, resolution, pad, x0, y0, theta0, k_bins, dth, states):
     tf = world_to_field @ states
-    xi = jnp.floor(tf.x / resolution) + (pad - x0)
-    yi = jnp.floor(tf.y / resolution) + (pad - y0)
+    # fractional coordinates for the TRILINEAR kernel lookup; the -0.5
+    # aligns the sinc-built samples (point samples at integer cell index)
+    # with the exact model's floor-cell convention: floor(z) is the
+    # zero-mean reconstruction of the smooth field at z - 0.5
+    xi = tf.x / resolution - 0.5 + (pad - x0)
+    yi = tf.y / resolution - 0.5 + (pad - y0)
     center = theta0 + (k_bins // 2) * dth
     rel = jnp.mod(tf.theta - center + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     t = rel / dth + (k_bins // 2)
@@ -221,8 +231,8 @@ def _coords(world_to_field, resolution, pad, x0, y0, theta0, k_bins, dth, states
 
 
 def windowed_coords(lut: WindowedScanLut, states: SE2):
-    """Per-particle (xi, yi, t) window coordinates as f32 (strays fall
-    outside [0, win) / [0, k_bins))."""
+    """Per-particle fractional (xi, yi, t) window coordinates as f32
+    (strays fall outside [0, win-1] / [0, k_bins))."""
     return _coords(
         lut.world_to_field, lut.resolution, lut.pad_cells, lut.x0, lut.y0,
         lut.theta0, lut.k_bins, lut.dth, states,
@@ -256,7 +266,7 @@ def windowed_coverage_from_center(
     )
     xi, yi, t = xi[::stride], yi[::stride], t[::stride]
     ok = (
-        (xi >= 0) & (xi < win) & (yi >= 0) & (yi < win)
+        (xi >= 0) & (xi <= win - 1) & (yi >= 0) & (yi <= win - 1)
         & (t >= 0) & (jnp.floor(t) <= k_bins - 2)
     )
     return jnp.mean(ok.astype(jnp.float32))
@@ -290,7 +300,8 @@ def coverage_tiled_from_coords(
     )
     k0rel = jnp.floor(tt) - t_lo[:, None]
     ok = (
-        ((xi_p >= 0) & (xi_p < win) & (yi_p >= 0) & (yi_p < win)).reshape(-1, tile)
+        ((xi_p >= 0) & (xi_p <= win - 1) & (yi_p >= 0)
+         & (yi_p <= win - 1)).reshape(-1, tile)
         & (k0rel >= 0.0)
         & (k0rel <= tblk - 2)
     )
@@ -331,7 +342,7 @@ def windowed_coverage(lut: WindowedScanLut, states: SE2, stride: int = 8) -> Arr
     xi, yi, t = windowed_coords(lut, states)
     xi, yi, t = xi[::stride], yi[::stride], t[::stride]
     ok = (
-        (xi >= 0) & (xi < lut.win) & (yi >= 0) & (yi < lut.win)
+        (xi >= 0) & (xi <= lut.win - 1) & (yi >= 0) & (yi <= lut.win - 1)
         & (t >= 0) & (jnp.floor(t) <= lut.k_bins - 2)
     )
     return jnp.mean(ok.astype(jnp.float32))
@@ -341,7 +352,7 @@ def windowed_scan_lut_weights(
     lut: WindowedScanLut,
     states: SE2,
     tile: int = 512,
-    tblk: int = 8,
+    tblk: int = 16,
     interpret: bool | None = None,
 ) -> Array:
     """AMCL-parity weights ``1 + Σ_b pz³`` from the windowed LUT; f32[N].

@@ -22,8 +22,13 @@ Each lane tile of ``tile`` particles reads its θ-slab base ``t_lo`` from
 SMEM (precomputed per tile in XLA as the clamped floor of the tile's min
 valid θ-bin); with θ-sorted particle slots (``sorted_slots``) a
 ``tblk``-deep slab covers the tile: per-particle MXU work is
-``tblk · Wx · Wy`` MAC, so SMALL tiles with shallow slabs win — the
-default (512, 8) covers a ≤0.35 rad span per tile at dth = 2π/128.
+``tblk · Wx · Wy`` MAC, so SMALL tiles with shallow slabs win — but a
+slab that under-covers its tile's θ span silently scores the tile's
+θ-extremes as miss, which CONTRACTS the θ posterior and random-walks the
+estimate (measured: tblk=8 at 8 tiles drifted to 2 m where tblk=16
+tracked at 0.1 m) — the default (512, 16) covers ≤0.69 rad per tile at
+dth = 2π/128 and is drift-tested; shrink tblk only with the coverage
+gate on.
 Particles outside the window in x, y, or θ (stray tails, recovery
 injections, tiles whose θ span exceeds the slab) score ``miss`` — the
 all-beams-unknown weight, the same convention as the windowed beam kernel
@@ -53,9 +58,20 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
         t_lo = tlo_ref[0, 0, 0]
         p = xi_ref.shape[1]
 
-        xi = xi_ref[0, :][None, :]  # f32 [1, P] (integral values)
-        yi = yi_ref[0, :][None, :]
+        # fractional window coordinates: the lookup is TRILINEAR (x, y, θ).
+        # A floor-cell lookup makes the weight piecewise-constant over 1-cell
+        # pose bins — the measurement then cannot pull the cloud sub-cell
+        # and tracking error random-walks at the cell scale (measured: the
+        # gate-free mega filter drifted 0.01 -> 1.2 m where the exact model
+        # equilibrates at ~0.1 m).  The y-lerp rides the one-hot weights and
+        # the x-lerp the select stage, so the MXU work is unchanged.
+        xf = xi_ref[0, :][None, :]  # f32 [1, P]
+        yf = yi_ref[0, :][None, :]
         t = t_ref[0, :][None, :]
+        x0 = jnp.floor(xf)
+        ax = xf - x0
+        y0 = jnp.floor(yf)
+        ay = yf - y0
         k0 = jnp.floor(t)
         a = t - k0
         k0rel = k0 - t_lo.astype(jnp.float32)
@@ -69,15 +85,21 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
             wj = jnp.where(k0rel == j, 1.0 - a, 0.0) + jnp.where(
                 k0rel == j - 1, a, 0.0
             )  # [1, P]
-            ohy = jnp.where(yi == iota_y, wj, 0.0).astype(vals_ref.dtype)
+            ohy = (
+                jnp.where(y0 == iota_y, wj * (1.0 - ay), 0.0)
+                + jnp.where(y0 == iota_y - 1.0, wj * ay, 0.0)
+            ).astype(vals_ref.dtype)
             slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
             acc = acc + jax.lax.dot(
                 slab, ohy, preferred_element_type=jnp.float32
             )
-        val = jnp.sum(jnp.where(xi == iota_x, acc, 0.0), axis=0, keepdims=True)
+        wx_sel = jnp.where(x0 == iota_x, 1.0 - ax, 0.0) + jnp.where(
+            x0 == iota_x - 1.0, ax, 0.0
+        )
+        val = jnp.sum(wx_sel * acc, axis=0, keepdims=True)
 
         valid = (
-            (xi >= 0.0) & (xi < wx) & (yi >= 0.0) & (yi < wy)
+            (xf >= 0.0) & (xf <= wx - 1.0) & (yf >= 0.0) & (yf <= wy - 1.0)
             & (k0rel >= 0.0) & (k0rel <= tblk - 2)
         )
         out_ref[:] = jnp.where(valid, base + val, miss)
@@ -96,15 +118,15 @@ def winlut_lookup(
     miss: Array,
     base: Array | float = 1.0,
     tile: int = 512,
-    tblk: int = 8,
+    tblk: int = 16,
     interpret: bool = False,
 ) -> Array:
     """Evaluate ``base + lerp_θ(L[t, yi, xi])`` per particle; ``f32[N]``.
 
     Args:
       values_t: ``bf16[K, Wx, Wy]`` x-major windowed LUT.
-      xi, yi: f32[N] integral window-cell coordinates (pre-offset by the
-        window origin; out-of-range ⇒ miss).
+      xi, yi: f32[N] FRACTIONAL window-cell coordinates (pre-offset by
+        the window origin; bilinear in x/y, out-of-range ⇒ miss).
       t: f32[N] fractional θ-bin coordinate (k₀ = floor(t) and k₀+1 are
         lerped; out-of-range ⇒ miss).  Slots should be θ-sorted so each
         ``tile`` spans ≤ ``tblk - 1`` bins; particles above their tile's
