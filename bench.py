@@ -238,6 +238,84 @@ class Runner:
         return max((time.perf_counter() - t0) / iters - floor, 1e-9)
 
 
+def _measure_winlut_mega(jax, floor, n_mega=None, k_scan=32, reps=3):
+    """Scan-driven mega winlut filter (1 x n_mega x BEAMS, gate-free
+    hybrid, tile=512/tblk=16 — the drift-tested config) with a tracking
+    accuracy gate.  Returns a primary-row dict or None."""
+    import jax.numpy as jnp
+
+    from beluga_tpu.filters.amcl import AmclParams, update
+    from beluga_tpu.filters.builders import make_windowed_scan_filter
+
+    if n_mega is None:
+        n_mega = int(os.environ.get("BENCH_MEGA", "1048576"))
+    built = build(1, n_mega, BEAMS, steps=k_scan * (reps + 1) + 8)
+    _, ctx_b, state, odoms, pts, mks, _ = built
+    models_w, ctx_w = make_windowed_scan_filter(
+        ctx_b["grid"], k_bins=64, win=128, max_point_radius=3.6,
+        tile=512, tblk=16, recovery_candidates=256, coverage_threshold=0.0,
+    )
+    params = AmclParams(
+        max_particles=n_mega, min_particles=n_mega, sorted_slots=True,
+        resampling="systematic",
+    )
+    import functools
+
+    step = functools.partial(update, params, models_w)
+    tmap = jax.tree_util.tree_map
+    t0f = lambda t: tmap(lambda l: l[0], t)  # noqa: E731
+
+    def stack(i0):
+        od = tmap(lambda *ls: jnp.stack(ls),
+                  *[t0f(odoms[i0 + i]) for i in range(k_scan)])
+        return (od, jnp.stack([pts[i0 + i][0] for i in range(k_scan)]),
+                jnp.stack([mks[i0 + i][0] for i in range(k_scan)]))
+
+    def scan_all(ctx, st, od, p, m):
+        def body(s, inp):
+            s = s._replace(force_update=jnp.asarray(True))
+            s, est = step(ctx, s, inp[0], inp[1], inp[2])
+            return s, est
+
+        return jax.lax.scan(body, st, (od, p, m))
+
+    jscan = jax.jit(scan_all)
+    od, p, mm = stack(0)
+    st, _ = jscan(ctx_w, t0f(state), od, p, mm)
+    jax.block_until_ready(st)
+    log(f"winlut-mega scan compiled+warm at {time.monotonic() - _T0:.0f}s")
+    best, ests, i0 = 1e9, None, 0
+    for r in range(reps):
+        i0 = k_scan * (r + 1)
+        od, p, mm = stack(i0)
+        jax.block_until_ready((od, p, mm))
+        t0 = time.perf_counter()
+        st, ests = jscan(ctx_w, st, od, p, mm)
+        jax.block_until_ready(st)
+        best = min(best, (time.perf_counter() - t0) / k_scan)
+
+    # tracking-accuracy gate on the last measured block (perfect odometry
+    # ground truth): a diverged filter must not post a headline
+    ex = np.asarray(jax.device_get(ests.pose.xy))
+    gx = np.asarray([[float(odoms[i0 + i].x[0]), float(odoms[i0 + i].y[0])]
+                     for i in range(k_scan)])
+    err = np.hypot(ex[:, 0] - gx[:, 0], ex[:, 1] - gx[:, 1])
+    log(f"winlut mega 1x{n_mega}x{BEAMS} scan-driven: {best*1e3:.2f} ms/step "
+        f"({n_mega/best:.3e} u/s) err mean={err.mean():.3f} max={err.max():.3f}")
+    if err.max() > 0.35:
+        log("accuracy gate FAILED; keeping the fleet primary")
+        return None
+    return {
+        "value": n_mega / best, "mode": "synchronous",
+        "measurement": "scan_driven",
+        "config": f"winlut_mega_1x{n_mega}x{BEAMS}",
+        "steps_per_dispatch": k_scan,
+        "err_mean_m": round(float(err.mean()), 3),
+        "err_max_m": round(float(err.max()), 3),
+        "floor_ms": floor * 1e3,
+    }
+
+
 def phase_combined() -> None:
     """Enqueue-side fallback, then the synchronous primary, then secondaries.
 
@@ -303,9 +381,24 @@ def phase_combined() -> None:
         floor = _timeit(floor_fn, jnp.ones(8), iters=10)
         per_step = runner.run(iters=12, floor=floor)
     ups = BATCH * NPART / per_step
-    log(f"sync: {ups:.3e} updates/s ({per_step*1e3:.2f} ms/step)")
+    log(f"sync interim (per-call fleet): {ups:.3e} updates/s "
+        f"({per_step*1e3:.2f} ms/step)")
     print(json.dumps({"value": ups, "mode": "synchronous",
+                      "measurement": "per_call_floor_subtracted",
+                      "config": f"fleet_{BATCH}x{NPART}x{BEAMS}_{LOOKUP_MODE}",
                       "floor_ms": floor * 1e3}), flush=True)
+
+    # Primary upgrade: the mega windowed-scan-LUT filter, measured
+    # scan-driven (K steps per lax.scan dispatch — dispatch-amortized,
+    # floor-free, enqueue-proof) with a tracking-accuracy gate so a
+    # diverged filter can never post a throughput number.
+    if remaining() > 150:
+        try:
+            mega_row = _measure_winlut_mega(jax, floor)
+            if mega_row is not None and mega_row["value"] > ups:
+                print(json.dumps(mega_row), flush=True)
+        except Exception as e:  # noqa: BLE001
+            log(f"winlut-mega primary upgrade skipped: {type(e).__name__}: {e}")
 
     # secondary (stderr only): dispatch-amortized sustained rate — the rest
     # of the trajectory as ONE lax.scan dispatch (the production replay
@@ -732,6 +825,10 @@ def main():
     value, mode, extra = 0.0, "failed", {}
     if r is not None:
         value, mode = r.get("value", 0.0), r.get("mode", "synchronous")
+        for k in ("measurement", "config", "steps_per_dispatch",
+                  "err_mean_m", "err_max_m"):
+            if k in r:
+                extra[k] = r[k]
         if "floor_ms" in r:
             extra["floor_ms"] = round(r["floor_ms"], 3)
 
