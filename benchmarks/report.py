@@ -288,6 +288,8 @@ def render_markdown(rows, meta, compare=None):
         f"- date: {meta['date']}",
         f"- backend: {meta['backend']} ({meta['device']})",
         f"- jax: {meta['jax_version']}",
+        f"- per-call dispatch floor: {meta.get('dispatch_floor_ms', 'n/a')} ms"
+        " (INCLUDED in every ms/update row)",
         "",
         "Reference role: `beluga_benchmark` (config matrix + timem RSS "
         "capture + compare_results) — see SURVEY.md L10 and "
@@ -356,11 +358,19 @@ def main(argv=None):
         rows.extend(out if isinstance(out, list) else [out])
         print(json.dumps(rows[-1]), flush=True)
 
+    import jax.numpy as jnp
+
+    floor_fn = jax.jit(lambda a: a + 1.0)
+    floor = _timeit(floor_fn, jnp.ones(8), iters=8)
     meta = {
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "jax_version": jax.__version__,
+        # per-call dispatch floor INCLUDED in every ms/update row (remote
+        # tunnels add ~3-4 ms per dispatch; see NOTES.md r3 measurement
+        # integrity)
+        "dispatch_floor_ms": round(floor * 1e3, 3),
     }
     compare = None
     if args.compare and os.path.exists(args.compare):
