@@ -311,7 +311,34 @@ def update(
             )
             m = params.max_particles
             adaptive = params.min_particles < params.max_particles
-            if jax.default_backend() == "tpu" and params.resampling in POSITIONERS:
+            if jax.default_backend() == "tpu" and params.resampling == "residual":
+                # residual through the fused kernel: the deterministic
+                # floor(M·w) copies are EXACT stratified positions over the
+                # floor-count CDF ((j+0.5)/R0 hits particle i exactly
+                # count_i times), the residual part is the sorted-order-
+                # statistics multinomial; 2 kernel passes replace the
+                # serialized searchsorted+gather (25.5 -> ~2 ms per fleet
+                # step, benchmarks/REPORT.md r3)
+                from beluga_tpu.ops.pallas_resample import (
+                    resample_take_tree,
+                    resample_take_tree_multinomial,
+                )
+
+                w = particles.weight
+                wn = w / jnp.maximum(jnp.sum(w), 1e-38)
+                counts = jnp.floor(wn * m)
+                r0 = jnp.sum(counts)
+                slots = jnp.arange(m, dtype=jnp.float32)
+                u_det = jnp.where(
+                    slots < r0, (slots + 0.5) / jnp.maximum(r0, 1.0), 1.5
+                )
+                donors_det = resample_take_tree(counts, u_det, particles.state)
+                donors_res = resample_take_tree_multinomial(
+                    k_res, wn * m - counts, particles.state, m,
+                    interleave=adaptive or not params.sorted_slots,
+                )
+                donors = tree_where(slots < r0, donors_det, donors_res)
+            elif jax.default_backend() == "tpu" and params.resampling in POSITIONERS:
                 # fused Pallas CDF-search + donor copy: the interval mask is
                 # the donor one-hot, the copy rides the MXU (bit-exact;
                 # ~4x the searchsorted + serialized-gather path)

@@ -291,3 +291,44 @@ class TestPallasResample:
         cdf = np.asarray(c / jnp.maximum(c[-1], 1e-38))
         idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
         np.testing.assert_array_equal(np.asarray(got), vals[:, idx].T)
+
+
+def test_residual_resampling_kernel_construction():
+    """The fused-kernel residual path (filters/amcl.py TPU branch):
+    stratified positions (j+0.5)/R0 over the floor-count CDF produce
+    EXACTLY floor(M*w_i) deterministic copies of each particle, and the
+    combined donor multiset matches residual-resampling semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beluga_tpu.ops.pallas_resample import (
+        resample_take_tree,
+        resample_take_tree_multinomial,
+    )
+
+    rng = np.random.default_rng(0)
+    n = m = 512
+    w = rng.exponential(1.0, n).astype(np.float32)
+    wn = w / w.sum()
+    counts = np.floor(wn * m)
+    r0 = int(counts.sum())
+    assert 0 < r0 < m
+
+    state = jnp.asarray(np.arange(n, dtype=np.float32))  # identity payload
+    slots = jnp.arange(m, dtype=jnp.float32)
+    u_det = jnp.where(slots < r0, (slots + 0.5) / max(r0, 1), 1.5)
+    det = np.asarray(resample_take_tree(
+        jnp.asarray(counts, jnp.float32), u_det, state, interpret=True))
+    # exactly floor(M w_i) copies of particle i among the first r0 slots
+    got = np.bincount(det[:r0].astype(int), minlength=n)
+    np.testing.assert_array_equal(got, counts.astype(int))
+
+    res = np.asarray(resample_take_tree_multinomial(
+        jax.random.PRNGKey(1), jnp.asarray(wn * m - counts, jnp.float32),
+        state, m, interpret=True))
+    combined = np.concatenate([det[:r0], res[r0:]]).astype(int)
+    assert combined.shape[0] == m
+    # every particle appears at least its deterministic count
+    total = np.bincount(combined, minlength=n)
+    assert np.all(total >= counts.astype(int))
