@@ -381,7 +381,43 @@ def main(argv=None):
         json.dump(report, f, indent=1)
     with open(args.out, "w") as f:
         f.write(render_markdown(rows, meta, compare))
+    try:
+        png = args.out.rsplit(".", 1)[0] + ".png"
+        render_plot(rows, compare, png)
+        print(f"wrote {png}")
+    except Exception as e:  # noqa: BLE001 - plots are best-effort
+        print(f"plot skipped: {type(e).__name__}: {e}", file=sys.stderr)
     print(f"wrote {args.out} and {args.json}")
+
+
+def render_plot(rows, compare, path):
+    """Log-scale throughput bar chart per config (the reference reports'
+    PNG-plot role, beluga_benchmark/docs/reports/*/REPORT.md)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = [r["config"] for r in rows]
+    vals = [r["particle_updates_per_s"] for r in rows]
+    old = {r["config"]: r["particle_updates_per_s"]
+           for r in (compare or {}).get("rows", [])}
+    fig, ax = plt.subplots(figsize=(9, 0.5 * len(rows) + 1.6))
+    y = range(len(rows))
+    ax.barh(y, vals, color="#3f7cac", label="this run")
+    if old:
+        prev = [old.get(n, 0) for n in names]
+        ax.barh([i + 0.35 for i in y], prev, height=0.3, color="#b6c7d6",
+                label="previous run")
+        ax.legend(loc="lower right", frameon=False)
+    ax.set_yticks(list(y), names)
+    ax.set_xscale("log")
+    ax.set_xlabel("particle-updates / s (log scale)")
+    ax.invert_yaxis()
+    for i, v in enumerate(vals):
+        ax.text(v, i, f" {v:.2e}", va="center", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
 
 
 if __name__ == "__main__":
