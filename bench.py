@@ -251,9 +251,13 @@ def _measure_winlut_mega(jax, floor, n_mega=None, k_scan=32, reps=3):
         n_mega = int(os.environ.get("BENCH_MEGA", "1048576"))
     built = build(1, n_mega, BEAMS, steps=k_scan * (reps + 1) + 8)
     _, ctx_b, state, odoms, pts, mks, _ = built
+    # exact_tail_frac 1/16: covers ~2x the typical 2-3% stray fraction
+    # (the gate-free mode has no exact fallback, so margin matters) while
+    # saving ~2 ms/step over the 1/8 default at 1M (5.9e7 vs 5.3e7 u/s)
     models_w, ctx_w = make_windowed_scan_filter(
         ctx_b["grid"], k_bins=64, win=128, max_point_radius=3.6,
         tile=512, tblk=16, recovery_candidates=256, coverage_threshold=0.0,
+        exact_tail_frac=0.0625,
     )
     params = AmclParams(
         max_particles=n_mega, min_particles=n_mega, sorted_slots=True,
