@@ -333,9 +333,17 @@ def update(
                     slots < r0, (slots + 0.5) / jnp.maximum(r0, 1.0), 1.5
                 )
                 donors_det = resample_take_tree(counts, u_det, particles.state)
+                # ALWAYS interleave the residual draws: tree_where keeps
+                # only slots >= r0, and a sorted (CDF-ordered) draw
+                # sequence would hand those slots exclusively the upper
+                # tail of the residual CDF — a biased donor MULTISET, not
+                # just a biased order.  The interleave spreads the sorted
+                # order statistics so any slot subset covers the CDF
+                # near-uniformly (a stratified-flavored residual tail);
+                # sorted_slots re-sorts by theta afterwards regardless.
                 donors_res = resample_take_tree_multinomial(
                     k_res, wn * m - counts, particles.state, m,
-                    interleave=adaptive or not params.sorted_slots,
+                    interleave=True,
                 )
                 donors = tree_where(slots < r0, donors_det, donors_res)
             elif jax.default_backend() == "tpu" and params.resampling in POSITIONERS:

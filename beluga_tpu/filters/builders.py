@@ -320,7 +320,6 @@ def make_windowed_scan_filter(
     tile: int = 512,
     tblk: int = 16,
     coverage_threshold: float = 0.98,
-    coverage_stride: int = 8,
     recovery_candidates: int = 0,
     exact_tail_frac: float = 0.125,
 ):
@@ -404,13 +403,19 @@ def make_windowed_scan_filter(
             # discontinuities can push 1 + Σpz³ non-positive, and a single
             # NaN log-weight poisons the whole normalization (same
             # convention as the beam path below)
+            kernel_states = states
+            if s_tail:  # tile-aligned: skip the kernel work for the tail
+                kernel_states = jax.tree_util.tree_map(
+                    lambda l: l[: n - s_tail], states
+                )
             w = windowed_scan_lut_weights(
-                lut, states, tile=tile, tblk=tblk, interpret=not on_tpu,
+                lut, kernel_states, tile=tile, tblk=tblk,
+                interpret=not on_tpu,
             )
             if s_tail:
                 tail = jax.tree_util.tree_map(lambda l: l[n - s_tail:], states)
                 w_tail = exact_weights(ctx, tail, points, beam_mask)
-                w = jnp.concatenate([w[: n - s_tail], w_tail])
+                w = jnp.concatenate([w, w_tail])
             return jnp.log(jnp.maximum(w, 1e-30))
 
         if coverage_threshold <= 0.0:
@@ -526,9 +531,14 @@ def make_winlut_fleet_update(
         # those with the exact model, the prefix through the shared LUT
         n = states.x.shape[0]
         s_tail = _exact_tail_slots(n, tile, exact_tail_frac)
+        kernel_states = states
+        if s_tail:  # tile-aligned: skip the kernel work for the tail
+            kernel_states = jax.tree_util.tree_map(
+                lambda l: l[: n - s_tail], states
+            )
         log_w = jnp.log(jnp.maximum(
             windowed_scan_lut_weights(
-                fctx["winlut"], states, tile=tile, tblk=tblk,
+                fctx["winlut"], kernel_states, tile=tile, tblk=tblk,
                 interpret=not on_tpu,
             ),
             1e-30,
@@ -538,7 +548,7 @@ def make_winlut_fleet_update(
             logw_tail = models_exact.log_weight(
                 fctx, tail, points, beam_mask
             )
-            log_w = jnp.concatenate([log_w[: n - s_tail], logw_tail])
+            log_w = jnp.concatenate([log_w, logw_tail])
         return log_w
 
     models_fast = models_exact._replace(log_weight=log_weight_fast)

@@ -141,18 +141,25 @@ class BaseLifecycleNode:
     # -- cooperative timers -------------------------------------------------
 
     def add_timer(self, name: str, period_s: float, cb: Callable[[], None]):
-        self._timers[name] = (period_s, time.monotonic(), cb)
+        # the phase base is pinned lazily to the FIRST tick's clock so a
+        # driver may pass any monotone time base (sim time, wall epoch,
+        # monotonic) — mixing time.monotonic() here with a driver clock in
+        # tick() would make timers never (or always) fire
+        self._timers[name] = (period_s, None, cb)
 
     def remove_timer(self, name: str):
         self._timers.pop(name, None)
 
     def tick(self, now: float | None = None) -> int:
         """Fire every due timer; returns the number fired.  Drivers call
-        this from their loop (the rclcpp-executor analog)."""
+        this from their loop (the rclcpp-executor analog) with their own
+        monotone clock (or no argument for time.monotonic())."""
         now = time.monotonic() if now is None else now
         fired = 0
         for name, (period, last, cb) in list(self._timers.items()):
-            if now - last >= period:
+            if last is None:
+                self._timers[name] = (period, now, cb)
+            elif now - last >= period:
                 self._timers[name] = (period, now, cb)
                 cb()
                 fired += 1

@@ -286,6 +286,7 @@ def coverage_tiled_from_coords(
     over-spread cloud can no longer pass the gate and silently score miss
     (advisor finding r2).
     """
+    tblk = min(tblk, k_bins)  # mirror winlut_lookup's clamp
     n = xi.shape[0]
     n_pad = -(-n // tile) * tile
 
@@ -315,7 +316,7 @@ def windowed_coverage_tiled_from_center(
     center_y: Array,
     center_theta: Array,
     tile: int = 512,
-    tblk: int = 8,
+    tblk: int = 16,
     k_bins: int = 64,
     win: int = 128,
     dth: float = 2.0 * np.pi / 128.0,

@@ -83,8 +83,7 @@ class NdtAmclNode(BaseLifecycleNode):
         if self._state is None:
             if self.last_known_estimate is not None:
                 # estimate retention across cleanup -> reconfigure
-                pose, cov = self.last_known_estimate
-                self.set_initial_pose(pose[0], pose[1], pose[2], cov)
+                self._initialize_from_estimate(*self.last_known_estimate)
             else:
                 self.set_initial_pose()
 
@@ -118,6 +117,11 @@ class NdtAmclNode(BaseLifecycleNode):
             )
         else:
             self._state = amcl_filter.reinit_particles(self._state, states)
+
+    def _initialize_from_estimate(self, pose, covariance) -> None:
+        # pose is the stored last_known_estimate vector: (x, y, yaw) for
+        # the 2D node; the 3D override consumes its 6-vector form
+        self.set_initial_pose(pose[0], pose[1], pose[2], covariance)
 
     def request_nomotion_update(self) -> None:
         if self._state is not None:
@@ -175,9 +179,16 @@ class NdtAmclNode3D(NdtAmclNode):
         )
         self._replace(states, SE3.identity())
 
+    def _initialize_from_estimate(self, pose, covariance) -> None:
+        # stored 3D estimate vector is (x, y, z, roll, pitch, yaw)
+        self.set_initial_pose(pose[:3], pose[3:6], covariance)
+
     def handle_point_cloud(self, odom_pose, points, point_mask=None) -> ScanResult:
         """One update; ``odom_pose`` is (x, y, z, roll, pitch, yaw)."""
         assert self._state is not None, "set_map first"
+        if not self.is_active:
+            # scans are only subscribed while ACTIVE (lifecycle contract)
+            return ScanResult(False, None, None, None, 0.0)
         t0 = time.perf_counter()
         x, y, z, roll, pitch, yaw = (float(v) for v in odom_pose)
         odom = SE3(

@@ -145,10 +145,14 @@ class AmclNode(BaseLifecycleNode):
                 functools.partial(amcl_filter.update, self.params, self._models)
             )
 
-        # initialize / re-initialize particles (amcl_node.cpp:484-497)
-        if self.config.set_initial_pose and (
-            self._state is None or self.config.always_reset_initial_pose
-        ):
+        # initialize / re-initialize particles (amcl_node.cpp:484-497):
+        # a retained estimate takes precedence over the configured initial
+        # pose unless always_reset_initial_pose — KeepCurrentEstimate
+        # [AfterCleanup] semantics (test_amcl_node.cpp:387-485); cleanup
+        # clears the filter but keeps last_known_estimate, so the old
+        # "state is None -> config pose" ordering would kidnap the filter
+        # back to the configured pose on every reconfigure
+        if self.config.set_initial_pose and self.config.always_reset_initial_pose:
             self.set_initial_pose(
                 self.config.initial_pose_x,
                 self.config.initial_pose_y,
@@ -158,6 +162,13 @@ class AmclNode(BaseLifecycleNode):
         elif self.last_known_estimate is not None:
             pose, cov = self.last_known_estimate
             self.set_initial_pose(pose[0], pose[1], pose[2], cov)
+        elif self.config.set_initial_pose and self._state is None:
+            self.set_initial_pose(
+                self.config.initial_pose_x,
+                self.config.initial_pose_y,
+                self.config.initial_pose_yaw,
+                self.config.initial_pose_covariance(),
+            )
         elif self._state is None:
             self.global_localization()
 

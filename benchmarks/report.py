@@ -43,6 +43,9 @@ def _device_mem():
         return None
     if not stats:
         return None
+    # NOTE: peak_bytes_in_use is the allocator's PROCESS-CUMULATIVE peak —
+    # configs run sequentially in one process, so a row inherits the peak
+    # of every earlier (possibly hungrier) config; bytes_in_use is live
     return {
         "bytes_in_use": stats.get("bytes_in_use"),
         "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
@@ -296,7 +299,8 @@ def render_markdown(rows, meta, compare=None):
         "`beluga_benchmark/docs/reports/`.",
         "",
     ]
-    hdr = "| config | description | ms/update | particle-updates/s | peak HBM (MB) | host RSS (MB) |"
+    hdr = ("| config | description | ms/update | particle-updates/s"
+           " | proc peak HBM (MB, cumulative) | host RSS (MB) |")
     sep = "|---|---|---|---|---|---|"
     if old:
         hdr += " vs prev |"

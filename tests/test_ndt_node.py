@@ -50,6 +50,34 @@ class TestNdtNode3d:
         assert res.pose.shape == (6,)
         assert res.covariance.shape == (6, 6)
 
+    def test_lifecycle_retention_and_scan_gating(self):
+        """3D node: cleanup retains the 6-vector estimate (the retention
+        path must dispatch through the SE3 set_initial_pose signature —
+        regression for the 4-positional-arg crash), and scans are dropped
+        while INACTIVE."""
+        cfg = AmclNodeConfig(max_particles=150, min_particles=40)
+        node = NdtAmclNode3D(cfg)
+        node.set_map_path(SAMPLE_3D_NDT)
+        ndt_map = node._ctx["ndt_map"]
+        pts = map_scan(ndt_map, dim=3)
+        res = node.handle_point_cloud((0, 0, 0, 0, 0, 0), pts)
+        assert res.valid
+
+        node.deactivate()
+        dropped = node.handle_point_cloud((0, 0, 0, 0, 0, 0), pts)
+        assert not dropped.valid  # lifecycle contract: INACTIVE drops scans
+
+        est_before = node.last_known_estimate[0].copy()
+        node.cleanup()
+        assert node._state is None
+        node.configure()
+        node.activate()
+        node.set_map_path(SAMPLE_3D_NDT)  # re-init from retained estimate
+        xyz = np.asarray(node._state.particles.state.xyz)
+        assert np.isfinite(xyz).all()
+        assert abs(np.mean(xyz[:, 0]) - est_before[0]) < 1.0
+        assert abs(np.mean(xyz[:, 1]) - est_before[1]) < 1.0
+
 
 class TestNdtEllipsoids:
     def test_ellipsoids_from_map(self):
