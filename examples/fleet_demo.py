@@ -13,7 +13,14 @@ import time
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
+
+# a pre-registered TPU plugin overrides the JAX_PLATFORMS env var at
+# startup; the config update after import is authoritative (NOTES.md)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
