@@ -91,9 +91,10 @@ class AmclParams:
     # theta band (ops/pallas_reweight.py, ops/pallas_winlut.py).  With a
     # fixed count (min == max) the resampler keeps donors in input order
     # (interleave skipped) and re-sorts after injection.  With adaptive
-    # KLD (min < max) the active count is computed on the DRAW-ORDER
-    # candidates first (reference take_while_kld parity — an unbiased
-    # prefix, views/take_while_kld.hpp:72-88), and the theta sort then
+    # KLD (min < max) the active count is computed on draw-order (or, for
+    # CDF-ordered strategies, deterministically interleaved) candidates
+    # first (reference take_while_kld parity — an unbiased prefix,
+    # views/take_while_kld.hpp:72-88), and the theta sort then
     # moves the kept k particles to the front ordered by theta (dropped
     # slots last, dead-masked) — so the KLD subset is order-unbiased AND
     # the live prefix satisfies the kernels' theta-band contract.
@@ -311,17 +312,25 @@ def update(
             )
             m = params.max_particles
             adaptive = params.min_particles < params.max_particles
+            # Donors emitted in CDF (input-index) order need a deterministic
+            # interleave whenever the adaptive-KLD prefix semantics are
+            # active: the prefix of a CDF-ordered donor array is "particles
+            # below a CDF cutoff" — a censored posterior, not an unbiased
+            # subsample.  Multinomial donors in draw order are already
+            # exchangeable; every other strategy sets ``cdf_ordered``.
+            cdf_ordered = False
             if jax.default_backend() == "tpu" and params.resampling == "residual":
                 # residual through the fused kernel: the deterministic
                 # floor(M·w) copies are EXACT stratified positions over the
                 # floor-count CDF ((j+0.5)/R0 hits particle i exactly
-                # count_i times), the residual part is the sorted-order-
-                # statistics multinomial; 2 kernel passes replace the
-                # serialized searchsorted+gather (25.5 -> ~2 ms per fleet
-                # step, benchmarks/REPORT.md r3)
-                from beluga_tpu.ops.pallas_resample import (
-                    resample_take_tree,
-                    resample_take_tree_multinomial,
+                # count_i times); the residual slots j >= r0 get the order
+                # statistics of exactly m - r0 uniforms searched in the
+                # residual CDF (the textbook residual resampler).  2 kernel
+                # passes replace the serialized searchsorted+gather
+                # (25.5 -> ~2 ms per fleet step, benchmarks/REPORT.md r3).
+                from beluga_tpu.ops.pallas_resample import resample_take_tree
+                from beluga_tpu.ops.resample import (
+                    sorted_residual_multinomial_positions,
                 )
 
                 w = particles.weight
@@ -333,19 +342,12 @@ def update(
                     slots < r0, (slots + 0.5) / jnp.maximum(r0, 1.0), 1.5
                 )
                 donors_det = resample_take_tree(counts, u_det, particles.state)
-                # ALWAYS interleave the residual draws: tree_where keeps
-                # only slots >= r0, and a sorted (CDF-ordered) draw
-                # sequence would hand those slots exclusively the upper
-                # tail of the residual CDF — a biased donor MULTISET, not
-                # just a biased order.  The interleave spreads the sorted
-                # order statistics so any slot subset covers the CDF
-                # near-uniformly (a stratified-flavored residual tail);
-                # sorted_slots re-sorts by theta afterwards regardless.
-                donors_res = resample_take_tree_multinomial(
-                    k_res, wn * m - counts, particles.state, m,
-                    interleave=True,
+                u_res = sorted_residual_multinomial_positions(k_res, r0, m)
+                donors_res = resample_take_tree(
+                    wn * m - counts, u_res, particles.state
                 )
                 donors = tree_where(slots < r0, donors_det, donors_res)
+                cdf_ordered = True
             elif jax.default_backend() == "tpu" and params.resampling in POSITIONERS:
                 # fused Pallas CDF-search + donor copy: the interval mask is
                 # the donor one-hot, the copy rides the MXU (bit-exact;
@@ -370,10 +372,19 @@ def update(
 
                     u = POSITIONERS[params.resampling](k_res, m)
                     donors = resample_take_tree(particles.weight, u, particles.state)
+                    cdf_ordered = True
             else:
                 resampler = RESAMPLERS[params.resampling]
                 idx = resampler(k_res, particles.weight, m)
                 donors = tree_take(particles.state, idx)
+                cdf_ordered = params.resampling != "multinomial"
+            if adaptive and cdf_ordered:
+                # spread consecutive CDF regions across the slot axis so any
+                # slot prefix (the KLD active prefix) covers the whole CDF
+                # near-uniformly; a transpose, not a gather (ops/resample.py)
+                from beluga_tpu.ops.resample import interleave_slots
+
+                donors = jax.tree_util.tree_map(interleave_slots, donors)
             inject = jax.random.bernoulli(k_mask, p_random, (m,))
             pool = params.recovery_pool
             if pool and pool < m:
@@ -417,8 +428,12 @@ def update(
                 key_fn = models.sort_key or se2_sort_key
                 sort_keys = key_fn(candidates)
                 if params.min_particles < params.max_particles:
+                    # inf, not an additive offset: a user-supplied sort_key
+                    # hook may return values at any scale, and a finite
+                    # offset could let dropped (dead-masked) slots sort
+                    # ahead of kept particles (lax.sort handles inf)
                     dropped = jnp.arange(m) >= active
-                    sort_keys = sort_keys + 1e6 * dropped.astype(jnp.float32)
+                    sort_keys = jnp.where(dropped, jnp.inf, sort_keys)
                 candidates = tree_sort_by(sort_keys, candidates)
             return make_from_states(candidates, active=active), thrun
 

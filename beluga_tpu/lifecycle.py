@@ -28,6 +28,11 @@ import enum
 import time
 from typing import Callable
 
+# forward time-base jump (beyond one period) treated as a clock switch rather
+# than a long stall; one hour safely exceeds any real inter-tick gap while
+# being far below the monotonic-vs-epoch offset (~1.7e9 s)
+_TIMER_BASE_JUMP_S = 3600.0
+
 
 class LifecycleState(enum.Enum):
     UNCONFIGURED = "unconfigured"
@@ -66,7 +71,7 @@ class BaseLifecycleNode:
 
     def __init__(self, autostart: bool = False):
         self.lifecycle_state = LifecycleState.UNCONFIGURED
-        self._timers: dict[str, tuple[float, float, Callable[[], None]]] = {}
+        self._timers: dict[str, tuple[float, float | None, Callable[[], None]]] = {}
         self.transition_log: list[str] = []
         if autostart:
             # the reference's autostart timer triggers configure+activate
@@ -158,6 +163,11 @@ class BaseLifecycleNode:
         fired = 0
         for name, (period, last, cb) in list(self._timers.items()):
             if last is None:
+                self._timers[name] = (period, now, cb)
+            elif now < last or now - last > period + _TIMER_BASE_JUMP_S:
+                # time-base jump (driver switched clocks between ticks, e.g.
+                # its own sim clock vs the time.monotonic() default): re-pin
+                # the phase base instead of firing never / immediately
                 self._timers[name] = (period, now, cb)
             elif now - last >= period:
                 self._timers[name] = (period, now, cb)

@@ -131,9 +131,11 @@ class NdtAmclNode(BaseLifecycleNode):
 
     def handle_point_cloud(self, odom_pose_xytheta, points, point_mask=None) -> ScanResult:
         """One update from ``(odom pose (x, y, yaw), 2D points [P, 2])``."""
-        assert self._state is not None, "set_map first"
         if not self.is_active:
+            # drop before the state assertion (lifecycle contract: clouds
+            # arriving after deactivate/cleanup are dropped, not errors)
             return ScanResult(False, None, None, None, 0.0)
+        assert self._state is not None, "set_map first"
         t0 = time.perf_counter()
         odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
         pts = jnp.asarray(points, jnp.float32)
@@ -185,10 +187,11 @@ class NdtAmclNode3D(NdtAmclNode):
 
     def handle_point_cloud(self, odom_pose, points, point_mask=None) -> ScanResult:
         """One update; ``odom_pose`` is (x, y, z, roll, pitch, yaw)."""
-        assert self._state is not None, "set_map first"
         if not self.is_active:
-            # scans are only subscribed while ACTIVE (lifecycle contract)
+            # drop before the state assertion (lifecycle contract: clouds
+            # arriving after deactivate/cleanup are dropped, not errors)
             return ScanResult(False, None, None, None, 0.0)
+        assert self._state is not None, "set_map first"
         t0 = time.perf_counter()
         x, y, z, roll, pitch, yaw = (float(v) for v in odom_pose)
         odom = SE3(

@@ -218,11 +218,13 @@ class AmclNode(BaseLifecycleNode):
             capacity; pad + mask).
           point_mask: ``bool[B]`` valid-beam mask (default all valid).
         """
-        assert self._state is not None, "node not initialized (set_map first)"
         if not self.is_active:
-            # scans are only subscribed while ACTIVE in the reference
+            # scans are only subscribed while ACTIVE in the reference; check
+            # before the state assertion so a scan arriving after
+            # deactivate()+cleanup() (state None) is dropped, not an error
             self.dropped_scans += 1
             return ScanResult(False, None, None, None, 0.0)
+        assert self._state is not None, "node not initialized (set_map first)"
         t0 = time.perf_counter()
         odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
         pts = jnp.asarray(points, jnp.float32)
@@ -305,6 +307,48 @@ class AmclNode(BaseLifecycleNode):
             sensor_pose,
         )
         return self.handle_scan(odom_pose_xytheta, pts, mask)
+
+    def handle_point_cloud(
+        self, odom_pose_xytheta, points_xyz, sensor_pose=(0.0, 0.0, 0.0)
+    ) -> ScanResult:
+        """Process a 3D point cloud through the 2D filter.
+
+        The reference node accepts ``sensor_msgs/PointCloud2`` as a
+        mutually-exclusive alternative to laser scans
+        (beluga_amcl/src/amcl_node.cpp:236-239); its update overload
+        flattens the cloud to (x, y) pairs in the base frame
+        (beluga_ros/src/amcl.cpp:64-80).  ``points_xyz`` is ``[P, 3]`` (or
+        ``[P, 2]``) in the sensor frame, e.g. from
+        ``io.native.decode_pointcloud2_cdr``; non-finite points are
+        masked and the cloud is take-evenly decimated to ``max_beams``.
+        """
+        pts, mask = self.prepare_point_cloud(points_xyz, sensor_pose)
+        return self.handle_scan(odom_pose_xytheta, pts, mask)
+
+    def prepare_point_cloud(
+        self, points_xyz, sensor_pose=(0.0, 0.0, 0.0)
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """The point-cloud adapter work alone: planar projection,
+        sensor-frame transform, finiteness mask, ``max_beams`` decimation,
+        padding to the static beam capacity."""
+        from beluga_tpu.io import native as _native
+
+        cfg = self.config
+        p = np.asarray(points_xyz, np.float32)
+        ok = np.isfinite(p[:, :2]).all(axis=-1)
+        sx, sy, syaw = (float(v) for v in sensor_pose)
+        c, s = np.cos(syaw), np.sin(syaw)
+        bx = c * p[:, 0] - s * p[:, 1] + sx
+        by = s * p[:, 0] + c * p[:, 1] + sy
+        full = np.where(ok[:, None], np.stack([bx, by], -1), 0.0).astype(
+            np.float32
+        )
+        idx = _native.take_evenly_indices(len(p), cfg.max_beams)
+        pts = np.zeros((cfg.max_beams, 2), np.float32)
+        mask = np.zeros(cfg.max_beams, bool)
+        pts[: len(idx)] = full[idx]
+        mask[: len(idx)] = ok[idx]
+        return pts, mask
 
     def prepare_scan(
         self,

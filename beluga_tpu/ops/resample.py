@@ -96,6 +96,34 @@ def sorted_multinomial_positions(key: Array, num: int) -> Array:
     return jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
 
 
+def sorted_residual_multinomial_positions(key: Array, r0: Array, num: int) -> Array:
+    """Positions for the residual slots of residual resampling.
+
+    Slot ``j >= r0`` receives the ``(j - r0 + 1)``-th order statistic of
+    ``num - r0`` iid uniforms (the spacings construction of
+    :func:`sorted_multinomial_positions` with a dynamically-indexed
+    denominator, since ``r0`` — the deterministic floor-copy count — is a
+    traced scalar); slots ``j < r0`` receive 0.0 (their donors are
+    overwritten with the deterministic copies by the caller).  Searching
+    these positions in the residual CDF gives slots ``>= r0`` EXACTLY the
+    multiset of ``num - r0`` multinomial draws from the residual
+    distribution — the textbook residual resampler — where a fixed-index
+    subset of ``num`` interleaved draws is only approximately so.  The
+    output is sorted ascending (zeros first), as the fused kernel's block
+    locality requires.
+    """
+    e = -jnp.log1p(-jax.random.uniform(key, (num + 1,), jnp.float32))
+    s = jax.lax.cummax(jnp.cumsum(e))
+    r0i = jnp.clip(r0.astype(jnp.int32), 0, num)
+    # R = num - r0 residual draws; denominator = sum of the first R+1
+    # spacings = s[R]
+    denom = jnp.maximum(s[num - r0i], 1e-38)
+    shifted = jnp.roll(s, r0i)[:num]  # slot j >= r0 reads s[j - r0]
+    u = jnp.minimum(shifted / denom, jnp.float32(1.0 - 2.0**-24))
+    slots = jnp.arange(num, dtype=jnp.float32)
+    return jnp.where(slots < r0, 0.0, u)
+
+
 def interleave_slots(x: Array, rows: int = 512) -> Array:
     """Reorder the leading axis by a [rows, cols] transpose.
 
@@ -104,9 +132,14 @@ def interleave_slots(x: Array, rows: int = 512) -> Array:
     prefix) covers the whole CDF near-uniformly — the same order character
     as systematic resampling.  A transpose, not a gather: costs ~1 ms where
     an unsort permutation gather costs ~40 ms at 262k rows.
+
+    The stride is capped near sqrt(m): out[k] = in[(k % g) * r + k // g]
+    with g = m / r, and both r = m and r = 1 degenerate to the identity —
+    a fixed r = 512 was a NO-OP for m <= 512 (every donor stayed in CDF
+    order, silently censoring small-filter KLD prefixes).
     """
     m = x.shape[0]
-    r = min(rows, m)
+    r = min(rows, max(int(m**0.5), 1))
     while m % r:  # static: m and rows are trace-time constants
         r -= 1
     # out[j] = in[(j % groups) * r + j // groups]: consecutive slots read

@@ -173,6 +173,50 @@ class TestAmclFilter:
         assert bool(est.valid)
         assert int(state.particles.active) == 400
 
+    @pytest.mark.parametrize("strategy", ["systematic", "stratified", "residual"])
+    def test_adaptive_kld_prefix_unbiased_cdf_ordered(self, world, strategy):
+        """CDF-ordered resampling strategies + adaptive KLD: the live
+        prefix must cover the whole posterior, not just the low-CDF
+        portion (ADVICE r3 medium: donors are interleaved when adaptive).
+
+        A bimodal cloud (two poses, slots [0, N/2) and [N/2, N)) with
+        near-uniform weights: without the interleave the kept prefix comes
+        exclusively from the first mode; with it both modes survive in
+        near-equal proportion."""
+        grid, models, ctx = world
+        n = 512
+        params = AmclParams(
+            max_particles=n, min_particles=64, resampling=strategy,
+            kld_epsilon=0.5,  # large epsilon -> small target -> real trim
+        )
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        a = sample_normal_se2(
+            k1, n // 2, SE2.from_xytheta(3.0, 3.0, 0.0), jnp.eye(3) * 0.01
+        )
+        b = sample_normal_se2(
+            k2, n // 2, SE2.from_xytheta(7.0, 7.0, 2.0), jnp.eye(3) * 0.01
+        )
+        states = jax.tree_util.tree_map(
+            lambda x, y: jnp.concatenate([x, y]), a, b
+        )
+        from beluga_tpu.filters.amcl import init_state as _init
+
+        state = _init(k3, states, params)
+        # no measurement signal: empty beam mask keeps the weights uniform,
+        # so both modes carry half the posterior mass
+        pts = jnp.zeros((8, 2), jnp.float32)
+        mask = jnp.zeros(8, bool)
+        state, est = update(params, models, ctx, state, SE2.identity(), pts, mask)
+        assert bool(est.valid)
+        active = int(state.particles.active)
+        assert active < n  # KLD actually trimmed
+        live_x = np.asarray(state.particles.state.xy[:active, 0])
+        frac_b = float((live_x > 5.0).mean())
+        assert 0.3 < frac_b < 0.7, (
+            f"{strategy}: live prefix is a censored posterior "
+            f"(mode-B fraction {frac_b:.2f})"
+        )
+
     def test_update_is_jittable(self, world):
         grid, models, ctx = world
         params = AmclParams(max_particles=500, min_particles=100)

@@ -297,15 +297,14 @@ def test_residual_resampling_kernel_construction():
     """The fused-kernel residual path (filters/amcl.py TPU branch):
     stratified positions (j+0.5)/R0 over the floor-count CDF produce
     EXACTLY floor(M*w_i) deterministic copies of each particle, and the
-    combined donor multiset matches residual-resampling semantics."""
+    residual slots j >= r0 carry exactly m - r0 multinomial draws from
+    the residual distribution (sorted_residual_multinomial_positions)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from beluga_tpu.ops.pallas_resample import (
-        resample_take_tree,
-        resample_take_tree_multinomial,
-    )
+    from beluga_tpu.ops.pallas_resample import resample_take_tree
+    from beluga_tpu.ops.resample import sorted_residual_multinomial_positions
 
     rng = np.random.default_rng(0)
     n = m = 512
@@ -324,11 +323,53 @@ def test_residual_resampling_kernel_construction():
     got = np.bincount(det[:r0].astype(int), minlength=n)
     np.testing.assert_array_equal(got, counts.astype(int))
 
-    res = np.asarray(resample_take_tree_multinomial(
-        jax.random.PRNGKey(1), jnp.asarray(wn * m - counts, jnp.float32),
-        state, m, interpret=True))
+    u_res = sorted_residual_multinomial_positions(
+        jax.random.PRNGKey(1), jnp.float32(r0), m)
+    ur = np.asarray(u_res)
+    # zeros on the deterministic prefix, sorted live tail in [0, 1)
+    np.testing.assert_array_equal(ur[:r0], 0.0)
+    assert np.all(np.diff(ur[r0:]) >= 0) and ur[-1] < 1.0
+    res = np.asarray(resample_take_tree(
+        jnp.asarray(wn * m - counts, jnp.float32), u_res, state,
+        interpret=True))
     combined = np.concatenate([det[:r0], res[r0:]]).astype(int)
     assert combined.shape[0] == m
     # every particle appears at least its deterministic count
     total = np.bincount(combined, minlength=n)
     assert np.all(total >= counts.astype(int))
+
+    # statistical check: residual-slot donor frequencies match the residual
+    # distribution (chi-square-ish bound over 64 key replicates)
+    resid = wn * m - counts
+    p = resid / resid.sum()
+    freq = np.zeros(n)
+    reps = 64
+    for s in range(reps):
+        u_s = sorted_residual_multinomial_positions(
+            jax.random.PRNGKey(100 + s), jnp.float32(r0), m)
+        d = np.asarray(resample_take_tree(
+            jnp.asarray(resid, jnp.float32), u_s, state, interpret=True))
+        freq += np.bincount(d[r0:].astype(int), minlength=n)
+    draws = reps * (m - r0)
+    z = (freq - draws * p) / np.sqrt(np.maximum(draws * p * (1 - p), 1e-9))
+    assert np.abs(z).max() < 5.0
+
+
+def test_sorted_residual_positions_edge_cases():
+    """r0 = 0 reduces to plain sorted order statistics; r0 = m leaves no
+    live positions (all zeros)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beluga_tpu.ops.resample import sorted_residual_multinomial_positions
+
+    m = 256
+    u0 = np.asarray(sorted_residual_multinomial_positions(
+        jax.random.PRNGKey(0), jnp.float32(0.0), m))
+    assert np.all(np.diff(u0) >= 0) and u0[0] >= 0 and u0[-1] < 1.0
+    # mean of all order statistics together ~ 1/2
+    assert abs(u0.mean() - 0.5) < 0.06
+    um = np.asarray(sorted_residual_multinomial_positions(
+        jax.random.PRNGKey(1), jnp.float32(m), m))
+    np.testing.assert_array_equal(um, 0.0)
