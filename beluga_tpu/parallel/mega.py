@@ -96,9 +96,15 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
 
     Returns ``update(ctx, state, odom_pose, points, beam_mask) ->
     (state, Estimate)`` where the particle leaves of ``state`` are sharded
-    ``P(axis)`` on ``mesh`` and everything else is replicated.  Resampling
-    is globally stratified systematic (each shard draws the positions of
-    its own output slots from the global CDF).
+    ``P(axis)`` on ``mesh`` and everything else is replicated.  All four
+    resampling strategies are supported: each shard draws the positions of
+    its own output slots and searches them in the all-gathered global CDF
+    (systematic/stratified ride shared/iid per-rank offsets, multinomial is
+    per-shard iid, residual splits global ranks at the floor-copy count
+    r0).  ``sorted_slots`` is not supported (a global cross-shard sort
+    would serialize the step); adaptive KLD interleaves the ranks of
+    CDF-ordered strategies so the kept slot prefix is an unbiased
+    subsample.
 
     ``estimate_fn(states_local, weights_local, axis) -> (pose, cov)`` must
     reduce with collectives over ``axis``; the default is the SE2 estimate
@@ -106,6 +112,11 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
     """
     if estimate_fn is None:
         estimate_fn = _sharded_estimate_se2
+    if params.sorted_slots:
+        raise ValueError(
+            "sorted_slots is unsupported on the sharded mega path "
+            "(requires a global cross-shard sort); use the vmap fleet path"
+        )
     num_shards = mesh.shape[axis]
     n_total = params.max_particles
     assert n_total % num_shards == 0, "max_particles must divide the mesh axis"
@@ -172,15 +183,65 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                 w = jnp.where(mask, jnp.exp(log_w), 0.0)
                 local_cdf, offset = sharded_cdf(w, axis)
                 global_cdf = local_cdf + offset
-
-                # globally stratified systematic positions for OUR slots
-                u0 = jax.random.uniform(k_res, (), jnp.float32)  # same all shards
-                u = (global_slots.astype(jnp.float32) + u0) / n_total
-
                 all_cdf = jax.lax.all_gather(global_cdf, axis).reshape(-1)
-                gidx = jnp.clip(
-                    jnp.searchsorted(all_cdf, u, side="right"), 0, n_total - 1
-                ).astype(jnp.int32)
+
+                def _search(cdf, u):
+                    return jnp.clip(
+                        jnp.searchsorted(cdf, u, side="right"), 0, n_total - 1
+                    ).astype(jnp.int32)
+
+                adaptive = params.min_particles < params.max_particles
+                ranks = global_slots
+                if adaptive and params.resampling != "multinomial":
+                    # CDF-ordered strategies would hand the adaptive-KLD
+                    # slot prefix only the low-CDF portion of the posterior
+                    # (the same censoring fixed in filters/amcl.py); the
+                    # interleave is free here — each slot just draws the
+                    # position of a permuted RANK, donors come from the
+                    # gathered global CDF either way
+                    r = min(512, max(int(n_total**0.5), 1))
+                    while n_total % r:
+                        r -= 1
+                    g = n_total // r
+                    ranks = (global_slots % g) * r + global_slots // g
+                ranks_f = ranks.astype(jnp.float32)
+                k_res_s = jax.random.fold_in(k_res, shard)
+
+                if params.resampling == "multinomial":
+                    # per-shard iid positions: the global multiset is iid
+                    # multinomial (reference views/sample.hpp behavior)
+                    u = jax.random.uniform(k_res_s, (n_local,), jnp.float32)
+                    gidx = _search(all_cdf, u)
+                elif params.resampling == "stratified":
+                    u = (
+                        ranks_f
+                        + jax.random.uniform(k_res_s, (n_local,), jnp.float32)
+                    ) / n_total
+                    gidx = _search(all_cdf, u)
+                elif params.resampling == "residual":
+                    # deterministic floor(N·w) copies at global ranks < r0,
+                    # iid multinomial draws over the residual CDF elsewhere
+                    counts = jnp.floor(w * n_total)  # w globally normalized
+                    local_cc = jnp.cumsum(counts)
+                    cc_tot = local_cc[-1]
+                    totals = jax.lax.all_gather(cc_tot, axis)
+                    cc_off = jnp.sum(
+                        jnp.where(jnp.arange(totals.shape[0]) < shard, totals, 0.0)
+                    )
+                    r0 = jnp.sum(totals)
+                    all_cc = jax.lax.all_gather(local_cc + cc_off, axis).reshape(-1)
+                    det_idx = _search(all_cc, ranks_f)
+                    resid = jnp.where(mask, w * n_total - counts, 0.0)
+                    rloc, roff = sharded_cdf(resid, axis)
+                    all_rcdf = jax.lax.all_gather(rloc + roff, axis).reshape(-1)
+                    u = jax.random.uniform(k_res_s, (n_local,), jnp.float32)
+                    gidx = jnp.where(
+                        ranks_f < r0, det_idx, _search(all_rcdf, u)
+                    )
+                else:  # systematic (the mega default)
+                    u0 = jax.random.uniform(k_res, (), jnp.float32)  # same all shards
+                    u = (ranks_f + u0) / n_total
+                    gidx = _search(all_cdf, u)
                 gathered = _all_gather_states(new_states, axis)
                 donors = jax.tree_util.tree_map(
                     lambda leaf: jnp.take(leaf, gidx, axis=0), gathered

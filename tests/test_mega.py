@@ -123,3 +123,81 @@ def test_multihost_driver_single_process(capsys):
     rows = [_json.loads(l) for l in out if l.startswith("{")]
     assert rows and rows[0]["devices"] == 1
     assert all(r["filters_per_s"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "strategy", ["multinomial", "stratified", "residual", "systematic"]
+)
+def test_mega_resampling_strategies_track(world, mesh, strategy):
+    """All four strategies run sharded and keep tracking (parallel/mega.py
+    strategy sweep; residual/multinomial/stratified are net-new r4)."""
+    grid, models, ctx = world
+    params = AmclParams(
+        max_particles=1024, min_particles=128, resampling=strategy
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    true_pose = (4.8, 4.8, 0.3)
+    states = sample_normal_se2(
+        k1, 1024, SE2.from_xytheta(*true_pose), jnp.eye(3) * 0.05
+    )
+    state = shard_mega_state(mesh, init_state(k2, states, params))
+    pts, mask = simulate_scan(grid, true_pose)
+    mega = jax.jit(make_mega_update(params, models, mesh))
+    for _ in range(4):
+        state = state._replace(force_update=jnp.asarray(True))
+        state, est = mega(ctx, state, SE2.identity(), pts, mask)
+    assert bool(est.valid)
+    err = np.hypot(
+        float(est.pose.x) - true_pose[0], float(est.pose.y) - true_pose[1]
+    )
+    assert err < 0.5, f"{strategy}: err={err:.3f}"
+
+
+def test_mega_residual_floor_copies(world, mesh):
+    """Sharded residual resampling: every particle appears at least its
+    deterministic floor(N w) count among the donors (exact global-rank
+    construction over the all-gathered count CDF)."""
+    grid, models, ctx = world
+    n = 256
+    params = AmclParams(
+        max_particles=n, min_particles=n, resampling="residual",
+        # zero recovery: isolate the resampler (no injected randoms)
+        alpha_slow=0.0, alpha_fast=0.0,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    true_pose = (4.8, 4.8, 0.3)
+    states = sample_normal_se2(
+        k1, n, SE2.from_xytheta(*true_pose), jnp.eye(3) * 0.04
+    )
+    state = shard_mega_state(mesh, init_state(k2, states, params))
+    pts, mask = simulate_scan(grid, true_pose)
+    mega = jax.jit(make_mega_update(params, models, mesh))
+
+    # one update: reweight + resample; donors must repeat the weighted
+    # input states.  Recover donor identity by matching x coordinates of
+    # the PROPAGATED states — motion is identity+noise, so propagate
+    # changes states; instead run with a pure copy check: compare donor
+    # multiset against the reweighted distribution's floor counts by
+    # re-deriving weights from a second, resample-free run.
+    params_nores = AmclParams(
+        max_particles=n, min_particles=n, resampling="residual",
+        resample_interval=1000000, alpha_slow=0.0, alpha_fast=0.0,
+    )
+    mega_nores = jax.jit(make_mega_update(params_nores, models, mesh))
+    s1 = state._replace(force_update=jnp.asarray(True))
+    s_no, _ = mega_nores(ctx, s1, SE2.identity(), pts, mask)
+    # same key path: k_prop is split identically, so propagated states and
+    # weights match between the two programs
+    s_res, _ = mega(ctx, s1, SE2.identity(), pts, mask)
+
+    w = np.asarray(jax.device_get(jnp.exp(s_no.particles.log_weight)))
+    w = w / w.sum()
+    counts = np.floor(w * n)
+    xs_in = np.asarray(jax.device_get(s_no.particles.state.xy[:, 0]))
+    xs_out = np.asarray(jax.device_get(s_res.particles.state.xy[:, 0]))
+    # match donors to inputs by exact x coordinate (f32 copies are exact)
+    for i in np.nonzero(counts > 0)[0]:
+        got = np.sum(xs_out == xs_in[i])
+        assert got >= counts[i], (
+            f"particle {i}: {got} copies < floor count {counts[i]}"
+        )
