@@ -238,86 +238,106 @@ class Runner:
         return max((time.perf_counter() - t0) / iters - floor, 1e-9)
 
 
-def _measure_winlut_mega(jax, floor, n_mega=None, k_scan=32, reps=3):
+class WinlutMega:
     """Scan-driven mega winlut filter (1 x n_mega x BEAMS, gate-free
     hybrid, tile=512/tblk=16 — the drift-tested config) with a tracking
-    accuracy gate.  Returns a primary-row dict or None."""
-    import jax.numpy as jnp
+    accuracy gate.  Split into warm() and measure() so the (expensive,
+    ~40-60 s) Mosaic compile can overlap the pending sync switch —
+    VERDICT r3 #1: pay the readback switch concurrently with warmup."""
 
-    from beluga_tpu.filters.amcl import AmclParams, update
-    from beluga_tpu.filters.builders import make_windowed_scan_filter
+    def __init__(self, jax, n_mega=None, k_scan=32, reps=3):
+        import jax.numpy as jnp
 
-    if n_mega is None:
-        n_mega = int(os.environ.get("BENCH_MEGA", "1048576"))
-    built = build(1, n_mega, BEAMS, steps=k_scan * (reps + 1) + 8)
-    _, ctx_b, state, odoms, pts, mks, _ = built
-    # exact_tail_frac 1/16: covers ~2x the typical 2-3% stray fraction
-    # (the gate-free mode has no exact fallback, so margin matters) while
-    # saving ~2 ms/step over the 1/8 default at 1M (5.9e7 vs 5.3e7 u/s)
-    models_w, ctx_w = make_windowed_scan_filter(
-        ctx_b["grid"], k_bins=64, win=128, max_point_radius=3.6,
-        tile=512, tblk=16, recovery_candidates=256, coverage_threshold=0.0,
-        exact_tail_frac=0.0625,
-    )
-    params = AmclParams(
-        max_particles=n_mega, min_particles=n_mega, sorted_slots=True,
-        resampling="systematic",
-    )
-    import functools
+        from beluga_tpu.filters.amcl import AmclParams, update
+        from beluga_tpu.filters.builders import make_windowed_scan_filter
 
-    step = functools.partial(update, params, models_w)
-    tmap = jax.tree_util.tree_map
-    t0f = lambda t: tmap(lambda l: l[0], t)  # noqa: E731
+        self.jax, self.jnp = jax, jnp
+        if n_mega is None:
+            n_mega = int(os.environ.get("BENCH_MEGA", "1048576"))
+        self.n_mega, self.k_scan, self.reps = n_mega, k_scan, reps
+        built = build(1, n_mega, BEAMS, steps=k_scan * (reps + 1) + 8)
+        _, ctx_b, state, self.odoms, self.pts, self.mks, _ = built
+        # exact_tail_frac 1/16: covers ~2x the typical 2-3% stray fraction
+        # (the gate-free mode has no exact fallback, so margin matters)
+        # while saving ~2 ms/step over the 1/8 default at 1M
+        models_w, self.ctx_w = make_windowed_scan_filter(
+            ctx_b["grid"], k_bins=64, win=128, max_point_radius=3.6,
+            tile=512, tblk=16, recovery_candidates=256,
+            coverage_threshold=0.0, exact_tail_frac=0.0625,
+        )
+        params = AmclParams(
+            max_particles=n_mega, min_particles=n_mega, sorted_slots=True,
+            resampling="systematic",
+        )
+        import functools
 
-    def stack(i0):
+        step = functools.partial(update, params, models_w)
+        tmap = jax.tree_util.tree_map
+        self._t0f = t0f = lambda t: tmap(lambda l: l[0], t)  # noqa: E731
+        self.state0 = t0f(state)
+
+        def scan_all(ctx, st, od, p, m):
+            def body(s, inp):
+                s = s._replace(force_update=jnp.asarray(True))
+                s, est = step(ctx, s, inp[0], inp[1], inp[2])
+                return s, est
+
+            return jax.lax.scan(body, st, (od, p, m))
+
+        self.jscan = jax.jit(scan_all)
+        self.st = None
+
+    def _stack(self, i0):
+        jnp, tmap = self.jnp, self.jax.tree_util.tree_map
         od = tmap(lambda *ls: jnp.stack(ls),
-                  *[t0f(odoms[i0 + i]) for i in range(k_scan)])
-        return (od, jnp.stack([pts[i0 + i][0] for i in range(k_scan)]),
-                jnp.stack([mks[i0 + i][0] for i in range(k_scan)]))
+                  *[self._t0f(self.odoms[i0 + i]) for i in range(self.k_scan)])
+        return (od,
+                jnp.stack([self.pts[i0 + i][0] for i in range(self.k_scan)]),
+                jnp.stack([self.mks[i0 + i][0] for i in range(self.k_scan)]))
 
-    def scan_all(ctx, st, od, p, m):
-        def body(s, inp):
-            s = s._replace(force_update=jnp.asarray(True))
-            s, est = step(ctx, s, inp[0], inp[1], inp[2])
-            return s, est
+    def warm(self):
+        od, p, mm = self._stack(0)
+        self.st, _ = self.jscan(self.ctx_w, self.state0, od, p, mm)
+        self.jax.block_until_ready(self.st)
+        log(f"winlut-mega scan compiled+warm at {time.monotonic() - _T0:.0f}s")
 
-        return jax.lax.scan(body, st, (od, p, m))
+    def measure(self, floor):
+        jax, n_mega, k_scan = self.jax, self.n_mega, self.k_scan
+        if self.st is None:
+            self.warm()
+        best, ests, i0 = 1e9, None, 0
+        for r in range(self.reps):
+            i0 = k_scan * (r + 1)
+            od, p, mm = self._stack(i0)
+            jax.block_until_ready((od, p, mm))
+            t0 = time.perf_counter()
+            self.st, ests = self.jscan(self.ctx_w, self.st, od, p, mm)
+            jax.block_until_ready(self.st)
+            best = min(best, (time.perf_counter() - t0) / k_scan)
 
-    jscan = jax.jit(scan_all)
-    od, p, mm = stack(0)
-    st, _ = jscan(ctx_w, t0f(state), od, p, mm)
-    jax.block_until_ready(st)
-    log(f"winlut-mega scan compiled+warm at {time.monotonic() - _T0:.0f}s")
-    best, ests, i0 = 1e9, None, 0
-    for r in range(reps):
-        i0 = k_scan * (r + 1)
-        od, p, mm = stack(i0)
-        jax.block_until_ready((od, p, mm))
-        t0 = time.perf_counter()
-        st, ests = jscan(ctx_w, st, od, p, mm)
-        jax.block_until_ready(st)
-        best = min(best, (time.perf_counter() - t0) / k_scan)
-
-    # tracking-accuracy gate on the last measured block (perfect odometry
-    # ground truth): a diverged filter must not post a headline
-    ex = np.asarray(jax.device_get(ests.pose.xy))
-    gx = np.asarray([[float(odoms[i0 + i].x[0]), float(odoms[i0 + i].y[0])]
-                     for i in range(k_scan)])
-    err = np.hypot(ex[:, 0] - gx[:, 0], ex[:, 1] - gx[:, 1])
-    log(f"winlut mega 1x{n_mega}x{BEAMS} scan-driven: {best*1e3:.2f} ms/step "
-        f"({n_mega/best:.3e} u/s) err mean={err.mean():.3f} max={err.max():.3f}")
-    if err.max() > 0.35:
-        log("accuracy gate FAILED; keeping the fleet primary")
-        return None
-    return {
-        "value": n_mega / best, "mode": "synchronous",
-        "measurement": "scan_driven",
-        "config": f"winlut_mega_1x{n_mega}x{BEAMS}",
-        "steps_per_dispatch": k_scan,
-        "err_mean_m": round(float(err.mean()), 3),
-        "err_max_m": round(float(err.max()), 3),
-        "floor_ms": floor * 1e3,
-    }
+        # tracking-accuracy gate on the last measured block (perfect
+        # odometry ground truth): a diverged filter must not post a
+        # headline
+        ex = np.asarray(jax.device_get(ests.pose.xy))
+        gx = np.asarray(
+            [[float(self.odoms[i0 + i].x[0]), float(self.odoms[i0 + i].y[0])]
+             for i in range(k_scan)])
+        err = np.hypot(ex[:, 0] - gx[:, 0], ex[:, 1] - gx[:, 1])
+        log(f"winlut mega 1x{n_mega}x{BEAMS} scan-driven: "
+            f"{best*1e3:.2f} ms/step ({n_mega/best:.3e} u/s) "
+            f"err mean={err.mean():.3f} max={err.max():.3f}")
+        if err.max() > 0.35:
+            log("accuracy gate FAILED; keeping the fleet primary")
+            return None
+        return {
+            "value": n_mega / best, "mode": "synchronous",
+            "measurement": "scan_driven",
+            "config": f"winlut_mega_1x{n_mega}x{BEAMS}",
+            "steps_per_dispatch": k_scan,
+            "err_mean_m": round(float(err.mean()), 3),
+            "err_max_m": round(float(err.max()), 3),
+            "floor_ms": floor * 1e3,
+        }
 
 
 def phase_combined() -> None:
@@ -325,8 +345,17 @@ def phase_combined() -> None:
 
     Prints a JSON line (flushed) after each stage so the orchestrator can
     recover the best-available number from stdout even if this child is
-    killed by the budget timeout mid-stage."""
+    killed by the budget timeout mid-stage.
+
+    Sync-switch orchestration (VERDICT r3 #1): the readback that switches a
+    deceiving session to synchronous execution takes an unpredictable
+    4-10 min but is SESSION-level, so it is started on a background thread
+    immediately after the deception probe and overlaps every build /
+    compile / warmup below instead of following them (r2/r3 serialized
+    warm -> switch and the switch never landed inside the budget)."""
     jax = _setup_jax()
+    import threading
+
     import jax.numpy as jnp
 
     m = 4096
@@ -339,13 +368,28 @@ def phase_combined() -> None:
     deceived = 2 * m**3 / dt > 0.25 * V5E_PEAK_F32_FLOPS
     log(f"probe: matmul {m} in {dt*1e3:.3f} ms (deceived={deceived})")
 
+    switch = {"dt": None}
+
+    def _pay_switch():
+        t0 = time.perf_counter()
+        jax.device_get(jnp.ones(2))
+        switch["dt"] = time.perf_counter() - t0
+        log(f"sync switch landed: {switch['dt']:.0f}s "
+            f"(at {time.monotonic() - _T0:.0f}s)")
+
+    switch_thread = None
+    if deceived:
+        log("starting sync switch in background (overlaps builds/warmup)")
+        switch_thread = threading.Thread(target=_pay_switch, daemon=True)
+        switch_thread.start()
+
     runner = Runner(build(BATCH, NPART, BEAMS, lookup_mode=LOOKUP_MODE))
     runner.run(2)  # warm / compile
     per_step = runner.run(iters=8)
     ups = BATCH * NPART / per_step
     log(f"enqueue-side: {ups:.3e} updates/s ({per_step*1e3:.2f} ms/step)")
 
-    if deceived:
+    if deceived and switch["dt"] is None:
         # Marginal-rate estimate: the difference between a long and a short
         # run isolates the steady-state (queue-saturated) per-step time.
         t_short = runner.run(iters=8) * 8
@@ -359,16 +403,31 @@ def phase_combined() -> None:
         else:
             fallback, fmode = ups, "async_enqueue_upper_bound"
     else:
-        fallback, fmode = ups, "async"
+        fallback, fmode = ups, "async" if deceived else "synchronous"
     print(json.dumps({"value": fallback, "mode": fmode}), flush=True)
+
+    # build + compile + warm the mega primary WHILE the switch is pending
+    mega = None
+    if os.environ.get("BENCH_SKIP_MEGA") != "1" and remaining() > 60:
+        try:
+            mega = WinlutMega(jax)
+            mega.warm()
+        except Exception as e:  # noqa: BLE001
+            mega = None
+            log(f"winlut-mega build skipped: {type(e).__name__}: {e}")
 
     floor_fn = jax.jit(lambda a: a + 1.0)
     _ = floor_fn(jnp.ones(8))
     jax.block_until_ready(runner.state)
-    log(f"warm at {time.monotonic() - _T0:.0f}s; paying sync switch")
-    t0 = time.perf_counter()
-    jax.device_get(jnp.ones(2))
-    log(f"sync switch: {time.perf_counter() - t0:.0f}s")
+
+    if switch_thread is not None:
+        log(f"warm at {time.monotonic() - _T0:.0f}s; joining sync switch")
+        # leave ~30 s: enough for floor + fleet + mega sync measurements
+        switch_thread.join(timeout=max(remaining() - 30, 5))
+        if switch["dt"] is None:
+            log(f"sync switch STILL pending at {time.monotonic() - _T0:.0f}s"
+                " — keeping the enqueue fallback")
+            return
     floor = _timeit(floor_fn, jnp.ones(8), iters=10)
     log(f"roundtrip floor: {floor*1e3:.3f} ms")
 
@@ -377,7 +436,7 @@ def phase_combined() -> None:
     # Sync mode can be LOST silently (a remote-compile error resets the
     # session, observed in r3); re-probe and re-switch once if needed.
     dt2 = _timeit(f, a, iters=4)
-    if 2 * m**3 / dt2 > 0.25 * V5E_PEAK_F32_FLOPS:
+    if deceived and 2 * m**3 / dt2 > 0.25 * V5E_PEAK_F32_FLOPS:
         log("session dropped sync mode mid-measure; re-switching")
         t0 = time.perf_counter()
         jax.device_get(jnp.ones(2))
@@ -395,10 +454,11 @@ def phase_combined() -> None:
     # Primary upgrade: the mega windowed-scan-LUT filter, measured
     # scan-driven (K steps per lax.scan dispatch — dispatch-amortized,
     # floor-free, enqueue-proof) with a tracking-accuracy gate so a
-    # diverged filter can never post a throughput number.
-    if remaining() > 150:
+    # diverged filter can never post a throughput number.  Already
+    # compiled+warm (overlapped with the switch), so this is seconds.
+    if mega is not None and remaining() > 20:
         try:
-            mega_row = _measure_winlut_mega(jax, floor)
+            mega_row = mega.measure(floor)
             if mega_row is not None and mega_row["value"] > ups:
                 print(json.dumps(mega_row), flush=True)
         except Exception as e:  # noqa: BLE001
