@@ -88,6 +88,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     lib.decode_header_stamp_cdr.restype = ctypes.c_int64
+    lib.decode_pointcloud2_cdr.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.decode_pointcloud2_cdr.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -283,6 +289,87 @@ def decode_odometry_cdr(data: bytes) -> np.ndarray:
     r.skip_header()
     r.skip_string()  # child_frame_id
     return np.asarray([r.read("d", 8) for _ in range(7)], np.float64)
+
+
+def decode_pointcloud2_cdr(data: bytes) -> np.ndarray:
+    """sensor_msgs/PointCloud2 CDR blob → xyz points ``f32[N, 3]``.
+
+    Handles both reference layouts: dense xyz-contiguous float/double
+    (beluga_ros point_cloud.hpp:59) and sparse strided fields
+    (sparse_point_cloud.hpp:53).  The x/y/z fields must lead the layout in
+    that order with one shared floating-point datatype — the reference
+    adapters' construction-time contract.  NaN points are preserved
+    (callers mask them).  Little-endian XCDR1 only.
+    """
+    buf = np.frombuffer(data, np.uint8)
+    lib = _load()
+    if lib is not None:
+        info = np.empty(4, np.int64)
+        cap = max((len(data) - 40) // 12, 16)
+        out = np.empty((cap, 3), np.float32)
+        n = lib.decode_pointcloud2_cdr(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n < 0:
+            raise ValueError("malformed PointCloud2 CDR message")
+        if n > cap:
+            out = np.empty((n, 3), np.float32)
+            n = lib.decode_pointcloud2_cdr(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+                info.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        return out[:n].copy()
+    # pure-python fallback
+    if len(data) < 4 or data[1] != 0x01:
+        raise ValueError("malformed PointCloud2 CDR message")
+    r = _CdrReader(data)
+    r.skip_header()
+    height = r.read("I", 4)
+    width = r.read("I", 4)
+    n_fields = r.read("I", 4)
+    if n_fields < 3 or n_fields > 256:
+        raise ValueError("malformed PointCloud2 CDR message")
+    offs, dtypes = [], []
+    for i in range(n_fields):
+        r.align(4)
+        slen = r.read("I", 4)
+        name = data[r.pos : r.pos + max(slen - 1, 0)].decode(errors="replace")
+        r.pos += slen
+        f_off = r.read("I", 4)
+        f_dtype = r.read("B", 1)
+        r.read("I", 4)  # count
+        if i < 3:
+            if name != "xyz"[i]:
+                raise ValueError("point cloud layout is not xyz-led")
+            offs.append(f_off)
+            dtypes.append(f_dtype)
+    if len(set(dtypes)) != 1 or dtypes[0] not in (7, 8):
+        raise ValueError("xyz fields must share one floating-point datatype")
+    scalar = np.float32 if dtypes[0] == 7 else np.float64
+    r.read("B", 1)  # is_bigendian
+    point_step = r.read("I", 4)
+    row_step = r.read("I", 4)
+    data_len = r.read("I", 4)
+    payload = np.frombuffer(data, np.uint8, count=data_len, offset=r.pos)
+    if point_step == 0:
+        raise ValueError("malformed PointCloud2 CDR message")
+    if row_step == 0:
+        row_step = width * point_step
+    out = np.empty((height * width, 3), np.float32)
+    for k, off in enumerate(offs):
+        # strided view: rows x cols of the k-th scalar field
+        col = np.lib.stride_tricks.as_strided(
+            payload[off:].view(np.uint8),
+            shape=(height, width, np.dtype(scalar).itemsize),
+            strides=(row_step, point_step, 1),
+        )
+        out[:, k] = (
+            col.reshape(height * width, -1).copy().view(scalar).ravel()
+        )
+    return out
 
 
 def decode_header_stamp_cdr(data: bytes):

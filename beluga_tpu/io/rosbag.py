@@ -19,9 +19,14 @@ from pathlib import Path
 
 import numpy as np
 
-from beluga_tpu.io.native import decode_laserscan_cdr, decode_odometry_cdr
+from beluga_tpu.io.native import (
+    decode_laserscan_cdr,
+    decode_odometry_cdr,
+    decode_pointcloud2_cdr,
+)
 
 _SCAN_TYPES = ("sensor_msgs/msg/LaserScan",)
+_CLOUD_TYPES = ("sensor_msgs/msg/PointCloud2",)
 _ODOM_TYPES = ("nav_msgs/msg/Odometry",)
 
 
@@ -141,6 +146,104 @@ def read_bag_stream(
     )
     if gt_ts is not None:
         stream["ground_truth"] = sample_at(gt_ts, gt_xyyaw, scan_ts)
+    return stream
+
+
+def read_bag_cloud_stream(
+    bag_path: str | Path,
+    cloud_topic: str | None = None,
+    odom_topic: str | None = None,
+    ground_truth_topic: str | None = None,
+) -> dict:
+    """Read a rosbag2 .db3 with PointCloud2 traffic into a cloud stream.
+
+    The PointCloud2 analog of :func:`read_bag_stream` — the reference node
+    accepts point clouds as an alternative to laser scans
+    (beluga_amcl/src/amcl_node.cpp:236-239, wrapped by the PointCloud3 /
+    SparsePointCloud3 adapters).  Each cloud is paired with the latest
+    odometry at or before its bag timestamp.  Returns a dict:
+    ``clouds`` f32[T, P, 3] (NaN-padded to the widest cloud),
+    ``cloud_mask`` bool[T, P] (finite, in-capacity points),
+    ``odom`` f64[T, 3] (x, y, yaw) and optionally ``ground_truth``.
+    """
+    bag_path = Path(bag_path)
+    topics = read_bag_topics(bag_path)
+
+    def pick(explicit, types, name_hint=None, exclude=()):
+        if explicit is not None:
+            if explicit not in topics:
+                raise KeyError(f"topic {explicit!r} not in bag: {list(topics)}")
+            return explicit
+        for name, (_, typ, _) in sorted(topics.items()):
+            if typ in types and name not in exclude:
+                if name_hint is None or name_hint in name:
+                    return name
+        return None
+
+    cloud_topic = pick(cloud_topic, _CLOUD_TYPES)
+    if cloud_topic is None:
+        raise ValueError(f"no PointCloud2 topic in bag: {list(topics)}")
+    ground_truth_topic = pick(
+        ground_truth_topic, _ODOM_TYPES, name_hint="ground_truth"
+    )
+    odom_topic = pick(
+        odom_topic, _ODOM_TYPES, exclude=(ground_truth_topic or "",)
+    )
+    if odom_topic is None and ground_truth_topic is not None:
+        odom_topic = ground_truth_topic
+    if odom_topic is None:
+        raise ValueError(f"no Odometry topic in bag: {list(topics)}")
+
+    with sqlite3.connect(f"file:{bag_path}?mode=ro", uri=True) as db:
+        def fetch(topic):
+            tid = topics[topic][0]
+            return db.execute(
+                "SELECT timestamp, data FROM messages WHERE topic_id = ?"
+                " ORDER BY timestamp",
+                (tid,),
+            ).fetchall()
+
+        cloud_rows = fetch(cloud_topic)
+        odom_rows = fetch(odom_topic)
+        gt_rows = fetch(ground_truth_topic) if ground_truth_topic else []
+
+    if not cloud_rows or not odom_rows:
+        raise ValueError("bag has no cloud or no odometry messages")
+
+    def decode_odom_series(rows):
+        ts = np.asarray([t for t, _ in rows], np.int64)
+        poses = np.empty((len(rows), 3), np.float64)
+        for i, (_, blob) in enumerate(rows):
+            p = decode_odometry_cdr(bytes(blob))
+            poses[i] = (p[0], p[1], _quat_to_yaw(p[3], p[4], p[5], p[6]))
+        return ts, poses
+
+    odom_ts, odom_xyyaw = decode_odom_series(odom_rows)
+    gt_ts, gt_xyyaw = decode_odom_series(gt_rows) if gt_rows else (None, None)
+
+    decoded = []
+    cloud_ts = np.empty(len(cloud_rows), np.int64)
+    for i, (t, blob) in enumerate(cloud_rows):
+        decoded.append(decode_pointcloud2_cdr(bytes(blob)))
+        cloud_ts[i] = t
+    cap = max(len(p) for p in decoded)
+    clouds = np.full((len(cloud_rows), cap, 3), np.nan, np.float32)
+    mask = np.zeros((len(cloud_rows), cap), bool)
+    for i, p in enumerate(decoded):
+        clouds[i, : len(p)] = p
+        mask[i, : len(p)] = np.isfinite(p).all(axis=-1)
+
+    def sample_at(ts, series, query_ts):
+        idx = np.clip(np.searchsorted(ts, query_ts, side="right") - 1, 0, len(ts) - 1)
+        return series[idx]
+
+    stream = dict(
+        odom=sample_at(odom_ts, odom_xyyaw, cloud_ts),
+        clouds=clouds,
+        cloud_mask=mask,
+    )
+    if gt_ts is not None:
+        stream["ground_truth"] = sample_at(gt_ts, gt_xyyaw, cloud_ts)
     return stream
 
 

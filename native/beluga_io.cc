@@ -228,6 +228,103 @@ int64_t decode_odometry_cdr(const uint8_t* buf, int64_t len, double* out7) {
   return c.ok() ? 0 : -1;
 }
 
+// Decode sensor_msgs/msg/PointCloud2 into xyz triples (f32).
+//
+// Covers BOTH reference adapters: the dense wrapper
+// (beluga_ros/include/beluga_ros/point_cloud.hpp:59 — xyz-contiguous
+// float/double, point_step a multiple of the scalar size) and the sparse
+// wrapper (sparse_point_cloud.hpp:53 — per-field offsets, arbitrary
+// strides).  The x/y/z fields must lead the layout in that order and
+// share one floating-point datatype (FLOAT32=7 / FLOAT64=8), exactly the
+// reference's construction-time checks; each point is then read through
+// its field offsets with point_step/row_step strides.
+//
+// Writes up to max_pts xyz triples into out_xyz and
+// {height, width, point_step, datatype} into info4.  Returns the total
+// point count (height * width; caller re-calls with a larger buffer if it
+// exceeds max_pts), or -1 on malformed input / unsupported layout.
+int64_t decode_pointcloud2_cdr(
+    const uint8_t* buf, int64_t len,
+    float* out_xyz, int64_t max_pts, int64_t* info4) {
+  if (len < 4 || buf[1] != 0x01) return -1;  // CDR_LE only
+  CdrCursor c{buf, len, 4};
+  c.skip_header();
+  const uint32_t height = c.read<uint32_t>();
+  const uint32_t width = c.read<uint32_t>();
+  const uint32_t n_fields = c.read<uint32_t>();
+  if (!c.ok() || n_fields < 3 || n_fields > 256) return -1;
+
+  uint32_t off[3] = {0, 0, 0};
+  uint8_t dtype[3] = {0, 0, 0};
+  const char* expected[3] = {"x", "y", "z"};
+  for (uint32_t i = 0; i < n_fields; ++i) {
+    // PointField: string name, uint32 offset, uint8 datatype, uint32 count
+    c.align(4);
+    const uint32_t slen = c.read<uint32_t>();
+    if (!c.ok() || c.pos + static_cast<int64_t>(slen) > len) return -1;
+    const char* name = reinterpret_cast<const char*>(buf + c.pos);
+    const int64_t name_len =
+        slen > 0 ? static_cast<int64_t>(slen) - 1 : 0;  // minus NUL
+    c.pos += slen;
+    const uint32_t f_off = c.read<uint32_t>();
+    const uint8_t f_dtype = c.read<uint8_t>();
+    c.read<uint32_t>();  // count
+    if (!c.ok()) return -1;
+    if (i < 3) {
+      if (name_len != 1 || name[0] != expected[i][0]) return -1;
+      off[i] = f_off;
+      dtype[i] = f_dtype;
+    }
+  }
+  if (dtype[0] != dtype[1] || dtype[1] != dtype[2]) return -1;
+  if (dtype[0] != 7 && dtype[0] != 8) return -1;  // FLOAT32 / FLOAT64
+  const int64_t scalar = dtype[0] == 7 ? 4 : 8;
+
+  c.read<uint8_t>();  // is_bigendian
+  const uint32_t point_step = c.read<uint32_t>();
+  uint32_t row_step = c.read<uint32_t>();
+  const uint32_t data_len = c.read<uint32_t>();
+  if (!c.ok() || c.pos + static_cast<int64_t>(data_len) > len) return -1;
+  const uint8_t* data = buf + c.pos;
+  if (point_step == 0) return -1;
+  if (row_step == 0) row_step = width * point_step;
+  for (int k = 0; k < 3; ++k) {
+    if (off[k] + scalar > point_step) return -1;
+  }
+  const int64_t total = static_cast<int64_t>(height) * width;
+  if (height != 0 &&
+      static_cast<int64_t>(height - 1) * row_step +
+              static_cast<int64_t>(width) * point_step >
+          static_cast<int64_t>(data_len)) {
+    return -1;
+  }
+
+  const int64_t write = total < max_pts ? total : max_pts;
+  int64_t w_i = 0;
+  for (uint32_t r = 0; r < height && w_i < write; ++r) {
+    const uint8_t* row = data + static_cast<int64_t>(r) * row_step;
+    for (uint32_t q = 0; q < width && w_i < write; ++q, ++w_i) {
+      const uint8_t* p = row + static_cast<int64_t>(q) * point_step;
+      for (int k = 0; k < 3; ++k) {
+        if (scalar == 4) {
+          float v;
+          std::memcpy(&v, p + off[k], 4);
+          out_xyz[3 * w_i + k] = v;
+        } else {
+          double v;
+          std::memcpy(&v, p + off[k], 8);
+          out_xyz[3 * w_i + k] = static_cast<float>(v);
+        }
+      }
+    }
+  }
+  info4[0] = height;
+  info4[1] = width;
+  info4[2] = point_step;
+  info4[3] = dtype[0];
+  return total;
+}
+
 // Decode the stamp (sec, nanosec) of any message starting with a Header.
 int64_t decode_header_stamp_cdr(
     const uint8_t* buf, int64_t len, int64_t* sec, int64_t* nanosec) {

@@ -277,3 +277,177 @@ class TestBagReading:
             read_bag_stream(bag, scan_topic="/nope")
         with pytest.raises(KeyError):
             read_bag_stream(bag, ground_truth_topic="/typo")
+
+
+# ---------------------------------------------------------------------------
+# PointCloud2 (dense + sparse strided layouts)
+# ---------------------------------------------------------------------------
+
+
+def encode_pointcloud2(
+    points, datatype="f32", extra_fields=(), point_pad=0, height=1,
+    row_pad=0, field_order=("x", "y", "z"),
+):
+    """sensor_msgs/PointCloud2 CDR oracle.
+
+    ``points``: [N, 3].  ``extra_fields``: names of trailing scalar fields
+    (same datatype) — makes the layout sparse in the reference's sense.
+    ``point_pad``: extra bytes after the fields in each point;
+    ``row_pad``: extra bytes per row (row_step > width * point_step).
+    """
+    points = np.asarray(points, np.float64)
+    n = len(points)
+    assert n % height == 0
+    width = n // height
+    scalar = 4 if datatype == "f32" else 8
+    code = 7 if datatype == "f32" else 8
+    names = list(field_order) + list(extra_fields)
+    point_step = scalar * len(names) + point_pad
+    row_step = width * point_step + row_pad
+
+    w = CdrWriter()
+    w.header(frame="lidar")
+    w.write("I", 4, height)
+    w.write("I", 4, width)
+    w.write("I", 4, len(names))
+    for i, name in enumerate(names):
+        w.string(name)
+        w.write("I", 4, i * scalar)  # offset
+        w.write("B", 1, code)  # datatype
+        w.write("I", 4, 1)  # count
+    w.write("B", 1, 0)  # is_bigendian
+    w.write("I", 4, point_step)
+    w.write("I", 4, row_step)
+    data = bytearray()
+    fmt = "<f" if datatype == "f32" else "<d"
+    for r in range(height):
+        for c in range(width):
+            p = points[r * width + c]
+            for k in range(len(names)):
+                v = p[k] if k < 3 else 42.0 + k
+                data += struct.pack(fmt, v)
+            data += b"\x00" * point_pad
+        data += b"\xEE" * row_pad
+    w.write("I", 4, len(data))
+    w.buf += bytes(data)
+    w.write("B", 1, 1)  # is_dense
+    return bytes(w.buf)
+
+
+class TestPointCloud2Decode:
+    def test_dense_f32_roundtrip(self, decoder_mode):
+        pts = np.asarray([[1.0, 2.0, 3.0], [-0.5, 0.25, 7.5]], np.float32)
+        got = native.decode_pointcloud2_cdr(encode_pointcloud2(pts))
+        np.testing.assert_array_equal(got, pts)
+
+    def test_dense_f64_casts(self, decoder_mode):
+        pts = np.asarray([[0.1, -0.2, 0.3], [4.0, 5.0, 6.0]])
+        got = native.decode_pointcloud2_cdr(
+            encode_pointcloud2(pts, datatype="f64"))
+        np.testing.assert_allclose(got, pts, rtol=1e-7)
+
+    def test_sparse_extra_fields_and_padding(self, decoder_mode):
+        """The sparse layout of sparse_point_cloud.hpp:53: xyz leads, extra
+        fields (intensity, ring) and point padding follow; stride honored."""
+        pts = np.asarray(
+            [[1.0, 2.0, 3.0], [9.0, 8.0, 7.0], [0.0, -1.0, 2.5]], np.float32
+        )
+        blob = encode_pointcloud2(
+            pts, extra_fields=("intensity", "ring"), point_pad=6)
+        got = native.decode_pointcloud2_cdr(blob)
+        np.testing.assert_array_equal(got, pts)
+
+    def test_organized_cloud_row_padding(self, decoder_mode):
+        """height > 1 with row_step > width * point_step (organized cloud)."""
+        pts = np.arange(24, dtype=np.float32).reshape(8, 3)
+        blob = encode_pointcloud2(pts, height=2, row_pad=10)
+        got = native.decode_pointcloud2_cdr(blob)
+        np.testing.assert_array_equal(got, pts)
+
+    def test_nan_points_preserved(self, decoder_mode):
+        pts = np.asarray(
+            [[1.0, 2.0, 3.0], [np.nan, np.nan, np.nan]], np.float32)
+        got = native.decode_pointcloud2_cdr(encode_pointcloud2(pts))
+        assert np.isnan(got[1]).all() and np.isfinite(got[0]).all()
+
+    def test_non_xyz_layout_rejected(self, decoder_mode):
+        pts = np.zeros((2, 3), np.float32)
+        blob = encode_pointcloud2(pts, field_order=("a", "b", "c"))
+        with pytest.raises(ValueError):
+            native.decode_pointcloud2_cdr(blob)
+
+    def test_truncated_rejected(self, decoder_mode):
+        blob = encode_pointcloud2(np.ones((4, 3), np.float32))
+        for cut in (5, 20, 40, len(blob) - 10):
+            with pytest.raises(ValueError):
+                native.decode_pointcloud2_cdr(blob[:cut])
+
+    def test_native_matches_fallback(self):
+        if not native.native_available():
+            pytest.skip("native library unavailable")
+        pts = np.asarray(np.random.default_rng(0).normal(size=(17, 3)),
+                         np.float32)
+        blob = encode_pointcloud2(pts, extra_fields=("intensity",),
+                                  point_pad=2)
+        g1 = native.decode_pointcloud2_cdr(blob)
+        lib = native._load
+        try:
+            native._load = lambda: None
+            g2 = native.decode_pointcloud2_cdr(blob)
+        finally:
+            native._load = lib
+        np.testing.assert_array_equal(g1, g2)
+
+
+def make_cloud_bag(path, n_clouds=5, datatype="f32", sparse=False):
+    db = sqlite3.connect(path)
+    db.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT)"
+    )
+    db.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    db.executemany("INSERT INTO topics VALUES (?,?,?,?,?)", [
+        (1, "/points", "sensor_msgs/msg/PointCloud2", "cdr", ""),
+        (2, "/odom", "nav_msgs/msg/Odometry", "cdr", ""),
+        (3, "/odometry/ground_truth", "nav_msgs/msg/Odometry", "cdr", ""),
+    ])
+    mid = 1
+    kw = dict(extra_fields=("intensity",), point_pad=4) if sparse else {}
+    for t in range(n_clouds):
+        ts = 1000 + 100 * t
+        db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                   (mid, 2, ts - 5, encode_odometry(0.1 * t, 0.0, 0.05 * t)))
+        mid += 1
+        db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                   (mid, 3, ts - 5,
+                    encode_odometry(0.1 * t + 1.0, 0.0, 0.05 * t)))
+        mid += 1
+        pts = np.asarray(
+            [[1.0 + t, 2.0, 0.1], [3.0, 4.0 + t, 0.2], [5.0, 6.0, 0.3 + t]])
+        db.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                   (mid, 1, ts,
+                    encode_pointcloud2(pts, datatype=datatype, **kw)))
+        mid += 1
+    db.commit()
+    db.close()
+
+
+class TestCloudBagReading:
+    @pytest.mark.parametrize("sparse", [False, True])
+    def test_cloud_stream(self, tmp_path, sparse):
+        from beluga_tpu.io.rosbag import read_bag_cloud_stream
+
+        bag = tmp_path / "clouds.db3"
+        make_cloud_bag(bag, n_clouds=4, sparse=sparse)
+        s = read_bag_cloud_stream(bag)
+        assert s["clouds"].shape == (4, 3, 3)
+        assert s["cloud_mask"].all()
+        np.testing.assert_allclose(
+            s["clouds"][:, 0, 0], 1.0 + np.arange(4), rtol=1e-6)
+        np.testing.assert_allclose(s["odom"][:, 0], 0.1 * np.arange(4),
+                                   atol=1e-12)
+        np.testing.assert_allclose(
+            s["ground_truth"][:, 0], 0.1 * np.arange(4) + 1.0, atol=1e-12)
