@@ -52,7 +52,8 @@ Array = jax.Array
 
 
 def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
-    def kernel(scal_ref, tlo_ref, xi_ref, yi_ref, t_ref, vals_ref, out_ref):
+    def kernel(scal_ref, tlo_ref, xi_ref, yi_ref, t_ref, vals_ref, out_ref,
+               acc_ref):
         miss = scal_ref[0, 0]
         base = scal_ref[0, 1]
         t_lo = tlo_ref[0, 0, 0]
@@ -68,35 +69,39 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
         xf = xi_ref[0, :][None, :]  # f32 [1, P]
         yf = yi_ref[0, :][None, :]
         t = t_ref[0, :][None, :]
-        x0 = jnp.floor(xf)
-        ax = xf - x0
-        y0 = jnp.floor(yf)
-        ay = yf - y0
         k0 = jnp.floor(t)
-        a = t - k0
         k0rel = k0 - t_lo.astype(jnp.float32)
+        u = t - t_lo.astype(jnp.float32)  # continuous θ-slab coordinate
 
         # Mosaic's tpu.iota is integer-only; cast for the f32 compares
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (wy, p), 0).astype(jnp.float32)
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, p), 0).astype(jnp.float32)
 
-        acc = jnp.zeros((wx, p), jnp.float32)
-        for j in range(tblk):  # static unroll: tblk dots per tile
-            wj = jnp.where(k0rel == j, 1.0 - a, 0.0) + jnp.where(
-                k0rel == j - 1, a, 0.0
-            )  # [1, P]
-            ohy = (
-                jnp.where(y0 == iota_y, wj * (1.0 - ay), 0.0)
-                + jnp.where(y0 == iota_y - 1.0, wj * ay, 0.0)
-            ).astype(vals_ref.dtype)
-            slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
-            acc = acc + jax.lax.dot(
-                slab, ohy, preferred_element_type=jnp.float32
-            )
-        wx_sel = jnp.where(x0 == iota_x, 1.0 - ax, 0.0) + jnp.where(
-            x0 == iota_x - 1.0, ax, 0.0
-        )
-        val = jnp.sum(wx_sel * acc, axis=0, keepdims=True)
+        # all three lerps are tent kernels relu(1 - |coord - index|); the
+        # y-tent is θ-slab-INDEPENDENT, so it is built once and each slab
+        # pays one broadcast multiply (the old form rebuilt the bilinear
+        # one-hot per slab: 2 compares + 2 selects + add over [Wy, P])
+        tent_y = jnp.maximum(1.0 - jnp.abs(yf - iota_y), 0.0)
+
+        acc_ref[...] = jnp.zeros((wx, p), jnp.float32)
+        for j in range(tblk):  # static unroll: <= tblk dots per tile
+            # θ-lerp tent: (1-a)·[k₀rel=j] + a·[k₀rel=j-1] == relu(1-|u-j|)
+            wj = jnp.maximum(1.0 - jnp.abs(u - j), 0.0)  # [1, P]
+
+            # θ-sorted slots make each tile span only ~2-3 of its tblk
+            # slab bins in steady state — skip the matmul for slabs no
+            # particle touches (skipped slabs contribute exactly 0, so
+            # this is a pure device-time win, data-dependently ~5x at
+            # mega scale; diverged clouds fall back to the full slab)
+            @pl.when(jnp.max(wj) > 0.0)
+            def _(j=j, wj=wj):
+                ohy = (wj * tent_y).astype(vals_ref.dtype)
+                slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
+                acc_ref[...] += jax.lax.dot(
+                    slab, ohy, preferred_element_type=jnp.float32
+                )
+        wx_sel = jnp.maximum(1.0 - jnp.abs(xf - iota_x), 0.0)
+        val = jnp.sum(wx_sel * acc_ref[...], axis=0, keepdims=True)
 
         valid = (
             (xf >= 0.0) & (xf <= wx - 1.0) & (yf >= 0.0) & (yf <= wy - 1.0)
@@ -184,6 +189,7 @@ def winlut_lookup(
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((wx, tile), jnp.float32)],
         interpret=interpret,
     )(scal, t_lo, xi_p, yi_p, t_p, vals)
     return out[0, :n]
