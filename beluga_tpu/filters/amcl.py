@@ -99,6 +99,28 @@ class AmclParams:
     # slots last, dead-masked) — so the KLD subset is order-unbiased AND
     # the live prefix satisfies the kernels' theta-band contract.
     sorted_slots: bool = False
+    # Re-sort every Nth resample instead of every one (perf knob for
+    # sorted_slots mega filters; the 7-operand theta sort costs ~2.6 ms at
+    # 1M particles).  Slot sortedness is a performance HINT: the winlut
+    # kernel's tblk-deep theta slab tolerates the ~0.1 rad/step diffusion
+    # of motion noise for several steps before tiles overflow their slab
+    # (overflowing particles score miss and fall to the exact tail /
+    # coverage gate, so accuracy degrades gracefully, not silently).
+    # Requires a fixed particle count: with adaptive KLD the sort also
+    # maintains the kept-first live-prefix invariant and cannot be
+    # skipped.
+    sort_interval: int = 1
+
+    def __post_init__(self):
+        if (
+            self.sort_interval > 1
+            and self.min_particles < self.max_particles
+        ):
+            raise ValueError(
+                "sort_interval > 1 requires a fixed particle count "
+                "(min_particles == max_particles): adaptive KLD relies on "
+                "the per-resample sort for the kept-first live prefix"
+            )
 
 
 class AmclModels(NamedTuple):
@@ -297,8 +319,12 @@ def update(
         )
 
         # -- resample policy: every_n [&& ESS drop] -------------------------
-        resample_count = jnp.mod(state.resample_count + 1, params.resample_interval)
-        do_resample = resample_count == 0
+        # the counter cycles over resample_interval * sort_interval so it
+        # can drive BOTH gates: resample at multiples of the interval,
+        # theta re-sort at every sort_interval-th resample (count == 0)
+        modulus = params.resample_interval * max(params.sort_interval, 1)
+        resample_count = jnp.mod(state.resample_count + 1, modulus)
+        do_resample = jnp.mod(resample_count, params.resample_interval) == 0
         if params.selective_resampling:
             ess = effective_sample_size(particles)
             do_resample &= ess < 0.5 * particles.active.astype(jnp.float32)
@@ -426,15 +452,29 @@ def update(
                 # draw-order prefix AND the live slots keep the kernels'
                 # theta-band contract.
                 key_fn = models.sort_key or se2_sort_key
-                sort_keys = key_fn(candidates)
-                if params.min_particles < params.max_particles:
-                    # inf, not an additive offset: a user-supplied sort_key
-                    # hook may return values at any scale, and a finite
-                    # offset could let dropped (dead-masked) slots sort
-                    # ahead of kept particles (lax.sort handles inf)
-                    dropped = jnp.arange(m) >= active
-                    sort_keys = jnp.where(dropped, jnp.inf, sort_keys)
-                candidates = tree_sort_by(sort_keys, candidates)
+
+                def do_sort(candidates):
+                    sort_keys = key_fn(candidates)
+                    if params.min_particles < params.max_particles:
+                        # inf, not an additive offset: a user-supplied
+                        # sort_key hook may return values at any scale,
+                        # and a finite offset could let dropped
+                        # (dead-masked) slots sort ahead of kept
+                        # particles (lax.sort handles inf)
+                        dropped = jnp.arange(m) >= active
+                        sort_keys = jnp.where(dropped, jnp.inf, sort_keys)
+                    return tree_sort_by(sort_keys, candidates)
+
+                if params.sort_interval > 1:
+                    # every sort_interval-th resample (count wrapped to 0);
+                    # a runtime conditional, honored in un-vmapped (mega)
+                    # programs — vmapped fleets flatten cond to select and
+                    # gain nothing from intervals > 1
+                    candidates = jax.lax.cond(
+                        resample_count == 0, do_sort, lambda c: c, candidates
+                    )
+                else:
+                    candidates = do_sort(candidates)
             return make_from_states(candidates, active=active), thrun
 
         def skip_resample_branch(args):

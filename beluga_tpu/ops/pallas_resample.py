@@ -37,6 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _CHUNK = 512  # positions per inner step
+# mega-size granules: at M >= 262144 fewer, bigger trips win (per-trip
+# loop/slice overhead ~0.5 us dominates the [NBLK, C] compare mask);
+# measured in-step at 1M: chunk 1024 / nblk 512 = 15.1 vs 15.8 ms/step
+_CHUNK_MEGA = 1024
+_NBLK_MEGA = 512
 _MBLK = 8192  # positions per pallas program (the grid axis)
 # particle-axis granule: each position chunk scans only the granule blocks
 # spanning [min u, max u], so the [NBLK, C] interval mask covers ~chunk-many
@@ -46,9 +51,12 @@ _MBLK = 8192  # positions per pallas program (the grid axis)
 # 1.68 -> 1.08 ms, mega 262k: 2.45 -> 0.96 ms floor-corrected; NOTES.md
 # round 2) against per-trip loop/dot overhead (~0.2 us) on v5e.
 _NBLK = 256
-# value planes larger than this stay in HBM (kernel DMAs per-block slices);
-# v5e VMEM is 128 MiB and the CDF/output tiles need their share
-_VMEM_VALS_LIMIT = 48 << 20
+# value planes larger than this stay in HBM (kernel DMAs per-block slices).
+# The scoped-VMEM budget for whole-array block specs is ~16 MiB on v5e;
+# 48 MiB sat exactly at the boundary and compiled only for some enclosing
+# programs (the r3 "2M-particle" blocker and an r4 ablation crash) — 12 MiB
+# leaves room for the CDF tiles and the output block in every context.
+_VMEM_VALS_LIMIT = 12 << 20
 
 
 def trunc_bf16(x: Array) -> Array:
@@ -77,32 +85,45 @@ def _split3(x: Array) -> Array:
     return jnp.concatenate([hi, mid, lo], axis=-2).astype(jnp.bfloat16)
 
 
-def _make_kernel_small(n_real: int, chunk: int):
+def _sum3(picked: Array, d: int, rows_out: int) -> Array:
+    """Sum the hi/mid/lo plane groups of ``picked`` [>=3d, C] into the
+    [rows_out, C] output block (rows beyond d are padding zeros)."""
+    s = picked[:d] + picked[d : 2 * d] + picked[2 * d : 3 * d]
+    if rows_out > d:
+        s = jnp.concatenate(
+            [s, jnp.zeros((rows_out - d, picked.shape[1]), jnp.float32)]
+        )
+    return s
+
+
+def _make_kernel_small(n_real: int, chunk: int, d: int):
     """Single-program kernel for small filters (n <= 2 * _NBLK): full
     interval mask per position chunk, static loop bounds (the dynamic
-    block-range bookkeeping of the big-N kernel costs ~10% at fleet size)."""
+    block-range bookkeeping of the big-N kernel costs ~10% at fleet size).
+
+    ``d`` is the true plane count: ``vals_ref`` holds the 3 bf16 split
+    planes padded to an 8-row multiple (rows beyond 3d are zero)."""
 
     def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref):
         del bounds_ref
         n = cdf_ref.shape[1]
-        d3 = vals_ref.shape[0]
-        d = d3 // 3
         m = u_ref.shape[1]
 
         cdf_col = cdf_ref[0, :][:, None]  # [N, 1]
         prev_col = cdf_prev_ref[0, :][:, None]
-        is_last = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == n_real - 1
         vals = vals_ref[:]  # [3D, N]
 
         def body(c, _):
             u = u_ref[0, pl.ds(c * chunk, chunk)][None, :]  # [1, C]
-            mask = (u >= prev_col) & ((u < cdf_col) | is_last)  # [N, C]
+            # no is_last clause: positions satisfy u < 1.0 = cdf[n-1]
+            # strictly (see resample_take's contract), so the last real
+            # interval is closed by construction and pad positions (1.5)
+            # match nothing
+            mask = (u >= prev_col) & (u < cdf_col)  # [N, C]
             picked = jnp.dot(
                 vals, mask.astype(vals.dtype), preferred_element_type=jnp.float32
             )  # [3D, C]
-            out_ref[:, pl.ds(c * chunk, chunk)] = (
-                picked[:d] + picked[d : 2 * d] + picked[2 * d :]
-            )
+            out_ref[:, pl.ds(c * chunk, chunk)] = _sum3(picked, d, out_ref.shape[0])
             return 0
 
         jax.lax.fori_loop(0, m // chunk, body, 0)
@@ -110,14 +131,13 @@ def _make_kernel_small(n_real: int, chunk: int):
     return _kernel
 
 
-def _make_kernel(n_real: int, chunk: int, nblk: int):
+def _make_kernel(n_real: int, chunk: int, nblk: int, d: int):
     """Kernel over padded arrays; ``n_real`` is the true particle count
     (the open-ended last CDF interval sits at index n_real - 1)."""
 
     def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref):
         n = cdf_ref.shape[1]
         d3 = vals_ref.shape[0]
-        d = d3 // 3
         m = u_ref.shape[1]
         n_blocks = n // nblk
 
@@ -138,15 +158,15 @@ def _make_kernel(n_real: int, chunk: int, nblk: int):
 
             def nblock(b, acc):
                 # particle-axis blocking keeps the mask at [NBLK, C] so VMEM
-                # stays bounded for any N (262k+ particles spill otherwise)
-                cdf_b = cdf_ref[0, pl.ds(b * nblk, nblk)][:, None]
-                prev_b = cdf_prev_ref[0, pl.ds(b * nblk, nblk)][:, None]
-                gidx = b * nblk + jax.lax.broadcasted_iota(
-                    jnp.int32, (nblk, 1), 0
-                )
-                is_last = gidx == n_real - 1
-                mask = (u >= prev_b) & ((u < cdf_b) | is_last)  # [NBLK, C]
-                vals_b = vals_ref[:, pl.ds(b * nblk, nblk)]
+                # stays bounded for any N (262k+ particles spill otherwise);
+                # offsets marked provably lane-aligned (Mosaic emits a slow
+                # unaligned-slice path otherwise — docs/kernels.md)
+                off = pl.multiple_of(b * nblk, nblk)
+                cdf_b = cdf_ref[0, pl.ds(off, nblk)][:, None]
+                prev_b = cdf_prev_ref[0, pl.ds(off, nblk)][:, None]
+                # no is_last clause: u < 1.0 = cdf[n_real-1] strictly
+                mask = (u >= prev_b) & (u < cdf_b)  # [NBLK, C]
+                vals_b = vals_ref[:, pl.ds(off, nblk)]
                 return acc + jnp.dot(
                     vals_b, mask.astype(vals_b.dtype),
                     preferred_element_type=jnp.float32,
@@ -157,9 +177,7 @@ def _make_kernel(n_real: int, chunk: int, nblk: int):
             )  # [3D, C]
             # the open-ended last interval (u >= cdf[-1]) lives in the block
             # of n_real - 1, which [lob, hib) covers since bounds[-1] = 1
-            out_ref[:, pl.ds(c * chunk, chunk)] = (
-                picked[:d] + picked[d : 2 * d] + picked[2 * d :]
-            )
+            out_ref[:, pl.ds(c * chunk, chunk)] = _sum3(picked, d, out_ref.shape[0])
             return 0
 
         jax.lax.fori_loop(0, m // chunk, body, 0)
@@ -167,19 +185,21 @@ def _make_kernel(n_real: int, chunk: int, nblk: int):
     return _kernel
 
 
-def _make_kernel_huge(n_real: int, chunk: int, nblk: int):
-    """Like :func:`_make_kernel`, but the value planes stay in HBM and each
-    touched particle block is DMA'd into a VMEM scratch: beyond ~2M
-    particles the whole ``[3D, N]`` bf16 table exceeds VMEM (128 MiB on
-    v5e) and the whole-array block spec is uncompilable."""
+def _make_kernel_huge(n_real: int, chunk: int, nblk: int, d: int):
+    """Like :func:`_make_kernel`, but the value planes AND the CDF arrays
+    stay in HBM, with each touched particle block DMA'd into VMEM
+    scratch: beyond ~2M particles even the two ``f32[N]`` CDF arrays blow
+    the scoped-VMEM budget (16 MiB at N = 2M), and the ``[3D, N]`` bf16
+    table does so far earlier.  The CDF arrays arrive reshaped
+    ``[n_blocks, 1, nblk]`` so a block is a LEADING-dim slice — tiled
+    memref DMA slices need tile-multiple extents, and only the leading
+    dims of a >=3-D memref are untiled (docs/kernels.md field notes)."""
 
     def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref,
-                vblk_ref, sem):
-        n = cdf_ref.shape[1]
+                vblk_ref, cblk_ref, pblk_ref, sem, csem, psem):
         d3 = vblk_ref.shape[0]
-        d = d3 // 3
         m = u_ref.shape[1]
-        n_blocks = n // nblk
+        n_blocks = cdf_ref.shape[0]
         bounds = bounds_ref[0, :][None, :]
 
         def body(c, _):
@@ -192,18 +212,24 @@ def _make_kernel_huge(n_real: int, chunk: int, nblk: int):
             )
 
             def nblock(b, acc):
-                cdf_b = cdf_ref[0, pl.ds(b * nblk, nblk)][:, None]
-                prev_b = cdf_prev_ref[0, pl.ds(b * nblk, nblk)][:, None]
-                gidx = b * nblk + jax.lax.broadcasted_iota(
-                    jnp.int32, (nblk, 1), 0
+                cc = pltpu.make_async_copy(cdf_ref.at[pl.ds(b, 1)], cblk_ref, csem)
+                pc = pltpu.make_async_copy(
+                    cdf_prev_ref.at[pl.ds(b, 1)], pblk_ref, psem
                 )
-                is_last = gidx == n_real - 1
-                mask = (u >= prev_b) & ((u < cdf_b) | is_last)  # [NBLK, C]
-                cp = pltpu.make_async_copy(
-                    vals_ref.at[:, pl.ds(b * nblk, nblk)], vblk_ref, sem
+                vc = pltpu.make_async_copy(
+                    vals_ref.at[:, pl.ds(pl.multiple_of(b * nblk, nblk), nblk)],
+                    vblk_ref, sem,
                 )
-                cp.start()
-                cp.wait()
+                cc.start()
+                pc.start()
+                vc.start()
+                cc.wait()
+                pc.wait()
+                cdf_b = cblk_ref[0, 0, :][:, None]
+                prev_b = pblk_ref[0, 0, :][:, None]
+                # no is_last clause: u < 1.0 = cdf[n_real-1] strictly
+                mask = (u >= prev_b) & (u < cdf_b)  # [NBLK, C]
+                vc.wait()
                 vals_b = vblk_ref[...]
                 return acc + jnp.dot(
                     vals_b, mask.astype(vals_b.dtype),
@@ -213,9 +239,7 @@ def _make_kernel_huge(n_real: int, chunk: int, nblk: int):
             picked = jax.lax.fori_loop(
                 lob, hib, nblock, jnp.zeros((d3, chunk), jnp.float32)
             )  # [3D, C]
-            out_ref[:, pl.ds(c * chunk, chunk)] = (
-                picked[:d] + picked[d : 2 * d] + picked[2 * d :]
-            )
+            out_ref[:, pl.ds(c * chunk, chunk)] = _sum3(picked, d, out_ref.shape[0])
             return 0
 
         jax.lax.fori_loop(0, m // chunk, body, 0)
@@ -231,14 +255,18 @@ def resample_take(
     positions: Array,
     values: Array,
     interpret: bool = False,
-    chunk: int = _CHUNK,
-    nblk: int = _NBLK,
+    chunk: int | None = None,
+    nblk: int | None = None,
 ) -> Array:
     """Fused CDF search + donor copy for one filter.
 
     Args:
       weights: f32[N] linear weights (zero on dead slots).
-      positions: f32[M] resampling positions in [0, 1).
+      positions: f32[M] resampling positions in [0, 1) — STRICTLY below
+        1.0 (all POSITIONERS guarantee this; sorted order statistics are
+        clamped to 1 - 2^-24).  The kernel relies on it: the last real
+        CDF interval is closed by u < 1.0 = cdf[n-1] rather than an
+        explicit last-slot clause.
       values: f32[D, N] per-particle state planes.
       chunk / nblk: position-chunk and donor-granule sizes (static; lane-
         aligned multiples of 128).
@@ -248,6 +276,10 @@ def resample_take(
     n = weights.shape[0]
     m = positions.shape[0]
     d = values.shape[0]
+    if chunk is None:
+        chunk = _CHUNK_MEGA if m >= 262144 else _CHUNK
+    if nblk is None:
+        nblk = _NBLK_MEGA if m >= 262144 else _NBLK
     m_pad = -(-m // chunk) * chunk
     if m_pad != m:
         # padded positions never select a donor (cdf pads at 2.0, u pads at
@@ -270,10 +302,13 @@ def resample_take(
     cdf = jnp.pad(cdf, (0, n_pad - n), constant_values=2.0)
     cdf_prev = jnp.pad(cdf_prev, (0, n_pad - n), constant_values=2.0)
 
+    # pad the SPLIT planes (not the input planes) to the 8-row sublane
+    # multiple: a d=4 SE2 state packs to 12 split planes padded to 16
+    # rather than 8 -> 24 — one third less copy work and VMEM footprint
     d_pad = -(-d // 8) * 8
-    vals3 = _split3(
-        jnp.pad(values, ((0, d_pad - d), (0, n_pad - n)))
-    )  # [3D', N']
+    d3_pad = -(-(3 * d) // 8) * 8
+    vals3 = _split3(jnp.pad(values, ((0, 0), (0, n_pad - n))))  # [3D, N']
+    vals3 = jnp.pad(vals3, ((0, d3_pad - 3 * d), (0, 0)))
     if interpret:  # CPU has no bf16 matmul: keep planes, compute in f32
         vals3 = vals3.astype(jnp.float32)
 
@@ -289,35 +324,51 @@ def resample_take(
     small = n_pad <= 2 * nblk
     # beyond ~2M particles the whole [3D, N] value table exceeds VMEM —
     # keep it in HBM and let the kernel DMA per-block slices
-    huge = 3 * d_pad * n_pad * vals3.dtype.itemsize > _VMEM_VALS_LIMIT
+    huge = d3_pad * n_pad * vals3.dtype.itemsize > _VMEM_VALS_LIMIT
     if small:
-        kernel = _make_kernel_small(n, chunk)
+        kernel = _make_kernel_small(n, chunk, d)
     elif huge:
-        kernel = _make_kernel_huge(n, chunk, nblk)
+        kernel = _make_kernel_huge(n, chunk, nblk, d)
     else:
-        kernel = _make_kernel(n, chunk, nblk)
+        kernel = _make_kernel(n, chunk, nblk, d)
+    if huge:
+        cdf_in = cdf.reshape(n_blocks, 1, nblk)
+        prev_in = cdf_prev.reshape(n_blocks, 1, nblk)
+        cdf_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((d3_pad, nblk), vals3.dtype),
+            pltpu.VMEM((1, 1, nblk), jnp.float32),
+            pltpu.VMEM((1, 1, nblk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        cdf_in = cdf[None, :]
+        prev_in = cdf_prev[None, :]
+        cdf_spec = pl.BlockSpec(
+            (1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = []
     out = pl.pallas_call(
         kernel,
         grid=(mg // mblk,),
         in_specs=[
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            cdf_spec,
+            cdf_spec,
             pl.BlockSpec((1, mblk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_blocks), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY) if huge else pl.BlockSpec(
-                (3 * d_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (d3_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (d_pad, mblk), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((d_pad, mg), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((3 * d_pad, nblk), vals3.dtype),
-            pltpu.SemaphoreType.DMA,
-        ] if huge else [],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(cdf[None, :], cdf_prev[None, :], positions[None, :], bounds[None, :], vals3)
+    )(cdf_in, prev_in, positions[None, :], bounds[None, :], vals3)
     return out[:d, :m].T
 
 

@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
+def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
+                 dynamic_span: bool = False):
     def kernel(scal_ref, tlo_ref, xi_ref, yi_ref, t_ref, vals_ref, out_ref,
                acc_ref):
         miss = scal_ref[0, 0]
@@ -83,23 +84,34 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
         # one-hot per slab: 2 compares + 2 selects + add over [Wy, P])
         tent_y = jnp.maximum(1.0 - jnp.abs(yf - iota_y), 0.0)
 
+        # dynamic slab range (opt-in): the tile's slab span [0, span) is
+        # computed in XLA (clamped floor of max valid t, +2 for the lerp
+        # neighbor) — a θ-sorted tile touches only ~2-3 of its tblk slab
+        # bins in steady state, so the dynamic fori does ~3 dots instead
+        # of tblk.  Standalone this is ~2x faster, but INSIDE the fused
+        # filter step it measures ~2x SLOWER (6.7 vs 3.0 ms/step in-step
+        # at 1M: the static dot sequence overlaps the step's other DMA
+        # traffic, the dynamic loop does not) — hence default False; see
+        # NOTES.md r4.  Per-slab pl.when predication is worse still
+        # (stalls the slab-load pipeline: 24.6 vs 16.9 ms/step e2e).
+        span = tlo_ref[0, 0, 1]
         acc_ref[...] = jnp.zeros((wx, p), jnp.float32)
-        for j in range(tblk):  # static unroll: <= tblk dots per tile
-            # θ-lerp tent: (1-a)·[k₀rel=j] + a·[k₀rel=j-1] == relu(1-|u-j|)
-            wj = jnp.maximum(1.0 - jnp.abs(u - j), 0.0)  # [1, P]
 
-            # θ-sorted slots make each tile span only ~2-3 of its tblk
-            # slab bins in steady state — skip the matmul for slabs no
-            # particle touches (skipped slabs contribute exactly 0, so
-            # this is a pure device-time win, data-dependently ~5x at
-            # mega scale; diverged clouds fall back to the full slab)
-            @pl.when(jnp.max(wj) > 0.0)
-            def _(j=j, wj=wj):
-                ohy = (wj * tent_y).astype(vals_ref.dtype)
-                slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
-                acc_ref[...] += jax.lax.dot(
-                    slab, ohy, preferred_element_type=jnp.float32
-                )
+        def slab_dot(j, carry):
+            # θ-lerp tent: (1-a)·[k₀rel=j] + a·[k₀rel=j-1] == relu(1-|u-j|)
+            wj = jnp.maximum(1.0 - jnp.abs(u - j.astype(jnp.float32)), 0.0)
+            ohy = (wj * tent_y).astype(vals_ref.dtype)
+            slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
+            acc_ref[...] += jax.lax.dot(
+                slab, ohy, preferred_element_type=jnp.float32
+            )
+            return carry
+
+        if dynamic_span:
+            jax.lax.fori_loop(0, span, slab_dot, 0)
+        else:
+            for j in range(tblk):  # static unroll: tblk dots per tile
+                slab_dot(jnp.int32(j), 0)
         wx_sel = jnp.maximum(1.0 - jnp.abs(xf - iota_x), 0.0)
         val = jnp.sum(wx_sel * acc_ref[...], axis=0, keepdims=True)
 
@@ -113,7 +125,7 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "tblk", "interpret")
+    jax.jit, static_argnames=("tile", "tblk", "interpret", "dynamic_span")
 )
 def winlut_lookup(
     values_t: Array,
@@ -125,6 +137,7 @@ def winlut_lookup(
     tile: int = 512,
     tblk: int = 16,
     interpret: bool = False,
+    dynamic_span: bool = False,
 ) -> Array:
     """Evaluate ``base + lerp_θ(L[t, yi, xi])`` per particle; ``f32[N]``.
 
@@ -155,16 +168,27 @@ def winlut_lookup(
     xi_p, yi_p, t_p = pad(xi), pad(yi), pad(t)
 
     # per-tile θ-slab base: clamped floor of the tile's min valid t (strays
-    # carry t outside [0, K) and score miss regardless of the slab)
+    # carry t outside [0, K) and score miss regardless of the slab); the
+    # slab SPAN is the clamped number of bins up to the tile's max valid t
+    # (+2 for the lerp neighbor) — the kernel's dynamic fori runs only
+    # that many dots
     n_tiles = n_pad // tile
     t_tiles = t_p.reshape(n_tiles, tile)
-    t_in = jnp.where((t_tiles >= 0.0) & (t_tiles < k_bins), t_tiles, jnp.inf)
+    in_rng = (t_tiles >= 0.0) & (t_tiles < k_bins)
+    t_in = jnp.where(in_rng, t_tiles, jnp.inf)
     t_lo = jnp.clip(
         jnp.floor(jnp.min(t_in, axis=1)), 0.0, max(k_bins - tblk, 0)
     ).astype(jnp.int32)
+    t_hi = jnp.floor(jnp.max(jnp.where(in_rng, t_tiles, -jnp.inf), axis=1))
+    span = jnp.clip(
+        t_hi.astype(jnp.int32) - t_lo + 2, 0, tblk
+    )
     # [n_tiles, 1, 8]: per-tile SMEM scalars need last-two block dims equal
     # to the array dims (Mosaic block-shape rule; cf. ops/pallas_beam_lut.py)
-    t_lo = jnp.pad(t_lo[:, None, None], ((0, 0), (0, 0), (0, 7)))
+    t_lo = jnp.pad(
+        jnp.stack([t_lo, span], axis=-1)[:, None, :],
+        ((0, 0), (0, 0), (0, 6)),
+    )
 
     scal = jnp.stack(
         [jnp.asarray(miss, jnp.float32), jnp.asarray(base, jnp.float32)]
@@ -175,7 +199,7 @@ def winlut_lookup(
         vals = values_t.astype(jnp.float32)
 
     out = pl.pallas_call(
-        _make_kernel(k_bins, wx, wy, tblk),
+        _make_kernel(k_bins, wx, wy, tblk, dynamic_span),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -245,7 +245,7 @@ class WinlutMega:
     ~40-60 s) Mosaic compile can overlap the pending sync switch —
     VERDICT r3 #1: pay the readback switch concurrently with warmup."""
 
-    def __init__(self, jax, n_mega=None, k_scan=32, reps=3):
+    def __init__(self, jax, n_mega=None, k_scan=64, reps=3):
         import jax.numpy as jnp
 
         from beluga_tpu.filters.amcl import AmclParams, update
@@ -260,14 +260,17 @@ class WinlutMega:
         # exact_tail_frac 1/16: covers ~2x the typical 2-3% stray fraction
         # (the gate-free mode has no exact fallback, so margin matters)
         # while saving ~2 ms/step over the 1/8 default at 1M
+        # tblk=24 + sort_interval=4: the deeper theta slab absorbs 4 steps
+        # of motion-noise diffusion between re-sorts (16.3 -> 15.1 ms/step
+        # at 1M; tblk=16 with skipped sorts DIVERGES — r4 sweep)
         models_w, self.ctx_w = make_windowed_scan_filter(
             ctx_b["grid"], k_bins=64, win=128, max_point_radius=3.6,
-            tile=512, tblk=16, recovery_candidates=256,
+            tile=512, tblk=24, recovery_candidates=256,
             coverage_threshold=0.0, exact_tail_frac=0.0625,
         )
         params = AmclParams(
             max_particles=n_mega, min_particles=n_mega, sorted_slots=True,
-            resampling="systematic",
+            resampling="systematic", sort_interval=4,
         )
         import functools
 

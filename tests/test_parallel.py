@@ -373,3 +373,29 @@ def test_sorted_residual_positions_edge_cases():
     um = np.asarray(sorted_residual_multinomial_positions(
         jax.random.PRNGKey(1), jnp.float32(m), m))
     np.testing.assert_array_equal(um, 0.0)
+
+
+def test_resample_take_huge_path_interpret(monkeypatch):
+    """The HBM-resident huge path (vals + CDF DMA'd per block) matches the
+    VMEM path exactly; exercised by forcing the size threshold down."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beluga_tpu.ops import pallas_resample as pr
+
+    rng = np.random.default_rng(7)
+    n, m, d = 4 * pr._NBLK, 512, 3
+    w = rng.random(n).astype(np.float32)
+    u = np.sort(rng.random(m).astype(np.float32))
+    vals = (rng.standard_normal((d, n)) * 5).astype(np.float32)
+    args = (jnp.asarray(w), jnp.asarray(u), jnp.asarray(vals))
+    want = np.asarray(pr.resample_take(*args, interpret=True))
+    monkeypatch.setattr(pr, "_VMEM_VALS_LIMIT", 1)
+    got = np.asarray(
+        pr.resample_take(*args, interpret=True, chunk=256, nblk=128)
+    )
+    c = jnp.cumsum(jnp.asarray(w))
+    cdf = np.asarray(c / jnp.maximum(c[-1], 1e-38))
+    idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
+    np.testing.assert_array_equal(got, vals[:, idx].T)
+    np.testing.assert_array_equal(want[: len(got)], got[: len(want)])
