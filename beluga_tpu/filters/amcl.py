@@ -282,6 +282,8 @@ def update(
     odom_pose: SE2,
     points: Array,
     beam_mask: Array,
+    *,
+    sort_now: bool | None = None,
 ) -> tuple[AmclState, Estimate]:
     """One filter update. Pure; jit/vmap/scan-compatible.
 
@@ -290,6 +292,13 @@ def update(
       odom_pose: base pose in the odom frame (the control action).
       points: ``f32[B, 2]`` measurement points in the base frame.
       beam_mask: ``bool[B]`` validity mask for the (static-size) beam slots.
+      sort_now: STATIC override of the ``sorted_slots`` sort schedule.
+        ``None`` (default) follows ``params.sort_interval`` with a runtime
+        conditional; ``True``/``False`` sorts (or not) unconditionally —
+        callers driving a ``lax.scan`` replay can unroll the schedule
+        statically (e.g. 4 sub-steps per scan iteration, sorting on the
+        first), removing the conditional and its particle-buffer copies
+        (~1 ms/step at 1M on v5e).
     """
     moved, motion_latest = _on_motion(
         params, models, state.motion_latest, state.motion_seeded, odom_pose
@@ -411,17 +420,30 @@ def update(
                 from beluga_tpu.ops.resample import interleave_slots
 
                 donors = jax.tree_util.tree_map(interleave_slots, donors)
-            inject = jax.random.bernoulli(k_mask, p_random, (m,))
             pool = params.recovery_pool
             if pool and pool < m:
+                # bounded-pool injection without per-slot machinery: draw
+                # the injected COUNT k ~ Binomial(m, p) (clamped to the
+                # pool) and place the k pool entries at iid uniform slots.
+                # Marginally each slot injects with probability ~p exactly
+                # as the reference's per-slot Bernoulli
+                # (views/random_intersperse.hpp:93-115); target collisions
+                # (≤ pool²/2m, e.g. 0.8% of entries at 4096/1M) drop a few
+                # injections, within the approximation the bounded pool
+                # already makes.  Replaces an m-element Bernoulli draw +
+                # m-element stable argsort (~1.7 ms at 1M) with O(pool)
+                # work.
                 randoms = models.random_state(ctx, k_rand, pool, particles)
-                # the j-th injected slot (in slot order) receives pool entry
-                # j; injected slots beyond the pool keep their donor
-                order = jnp.argsort(~inject, stable=True)
-                valid = jnp.arange(pool) < jnp.sum(inject.astype(jnp.int32))
-                target = jnp.where(valid, order[:pool], m)  # m -> dropped
+                k_cnt, k_slot = jax.random.split(k_mask)
+                n_inj = jnp.minimum(
+                    jax.random.binomial(k_cnt, m, p_random), float(pool)
+                )
+                slots_r = jax.random.randint(k_slot, (pool,), 0, m)
+                valid = jnp.arange(pool) < n_inj
+                target = jnp.where(valid, slots_r, m)  # m -> dropped
                 candidates = tree_scatter(donors, target, randoms)
             else:
+                inject = jax.random.bernoulli(k_mask, p_random, (m,))
                 randoms = models.random_state(ctx, k_rand, m, particles)
                 candidates = tree_where(inject, randoms, donors)
             if params.min_particles >= params.max_particles:
@@ -439,42 +461,6 @@ def update(
                     hashes, params.min_particles, m, params.kld_epsilon,
                     params.kld_z,
                 )
-            if params.sorted_slots:
-                # keep the theta-sorted slot invariant: per-step motion
-                # noise diffuses particle identities across the posterior
-                # (timescale ~(sigma_post/sigma_step)^2 steps), so order
-                # preservation alone decays — re-sort each resample.
-                # lax.sort's compare-exchange network costs ~0.2 ms at
-                # [64, 4096] x 7 operands (NOTES.md).  With adaptive KLD
-                # the kept (first `active`) candidates sort to the front
-                # ordered by theta and the dropped tail sorts last
-                # (dead-masked), so the selected subset is the unbiased
-                # draw-order prefix AND the live slots keep the kernels'
-                # theta-band contract.
-                key_fn = models.sort_key or se2_sort_key
-
-                def do_sort(candidates):
-                    sort_keys = key_fn(candidates)
-                    if params.min_particles < params.max_particles:
-                        # inf, not an additive offset: a user-supplied
-                        # sort_key hook may return values at any scale,
-                        # and a finite offset could let dropped
-                        # (dead-masked) slots sort ahead of kept
-                        # particles (lax.sort handles inf)
-                        dropped = jnp.arange(m) >= active
-                        sort_keys = jnp.where(dropped, jnp.inf, sort_keys)
-                    return tree_sort_by(sort_keys, candidates)
-
-                if params.sort_interval > 1:
-                    # every sort_interval-th resample (count wrapped to 0);
-                    # a runtime conditional, honored in un-vmapped (mega)
-                    # programs — vmapped fleets flatten cond to select and
-                    # gain nothing from intervals > 1
-                    candidates = jax.lax.cond(
-                        resample_count == 0, do_sort, lambda c: c, candidates
-                    )
-                else:
-                    candidates = do_sort(candidates)
             return make_from_states(candidates, active=active), thrun
 
         def skip_resample_branch(args):
@@ -483,6 +469,42 @@ def update(
         particles, thrun = jax.lax.cond(
             do_resample, do_resample_branch, skip_resample_branch, (particles, thrun)
         )
+
+        if params.sorted_slots and sort_now is not False:
+            # keep the theta-sorted slot invariant: per-step motion noise
+            # diffuses particle identities across the posterior (timescale
+            # ~(sigma_post/sigma_step)^2 steps), so order preservation
+            # alone decays — re-sort on the sort schedule.  The sort lives
+            # OUTSIDE the resample branch (r4): with selective resampling
+            # the branch can stay skipped for long stretches, and an
+            # in-branch sort would let slot order decay until the winlut
+            # slab overflowed (measured divergence).  The schedule fires
+            # every resample_interval * sort_interval updates regardless
+            # of whether the resample actually ran.  log-weights travel
+            # with the states (they are only uniform right after a
+            # resample); dead slots sort last (inf keys) so the live
+            # prefix invariant holds for adaptive KLD too.
+            key_fn = models.sort_key or se2_sort_key
+
+            def do_sort(particles: ParticleSet) -> ParticleSet:
+                sort_keys = key_fn(particles.state)
+                sort_keys = jnp.where(particles.mask, sort_keys, jnp.inf)
+                state_s, log_w_s = tree_sort_by(
+                    sort_keys, (particles.state, particles.log_weight)
+                )
+                return ParticleSet(state_s, log_w_s, particles.active)
+
+            if sort_now is True:
+                particles = do_sort(particles)
+            elif params.sort_interval > 1 or params.selective_resampling:
+                # a runtime conditional, honored in un-vmapped (mega)
+                # programs — vmapped fleets flatten cond to select and
+                # gain nothing from intervals > 1
+                particles = jax.lax.cond(
+                    resample_count == 0, do_sort, lambda p: p, particles
+                )
+            else:
+                particles = do_sort(particles)
 
         mean, cov = models.estimate(params, particles)
         new_state = state._replace(

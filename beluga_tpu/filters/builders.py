@@ -465,9 +465,21 @@ def make_winlut_fleet_update(
     recovery_candidates: int = 256,
     exact_tail_frac: float = 0.125,
 ):
-    """Fleet AMCL through ONE shared windowed pose LUT per update — the
-    headline-throughput path for B filters scoring the *same* scan
-    (Monte Carlo replicas / evaluation sweeps over one robot).
+    """Fleet AMCL through ONE shared windowed pose LUT per update, for B
+    filters scoring the *same* scan (Monte Carlo replicas / evaluation
+    sweeps over one robot).
+
+    **Fast-path recommendation (measured, NOTES.md r3/r4):** at fleet
+    scale (e.g. 64 x 4096) this path does NOT beat the exact
+    ``lookup_mode="codebook16"`` fleet step — the wide nav2 posterior
+    (sigma_theta ~0.3 rad + stray tail) fights the per-filter tile
+    structure, and build+gate+lookup+tail lands at about the codebook16
+    reweight it replaces.  Use ``make_likelihood_field_filter(...,
+    lookup_mode="codebook16")`` with ``parallel.fleet.make_fleet_update``
+    for fleets; the winlut win is at MEGA scale (one filter, >= 262k
+    particles, ``make_windowed_scan_filter``) where the build amortizes
+    over the particle count.  This path remains for shared-scan fleets
+    whose per-filter clouds are tighter than the nav2 posterior.
 
     The ``lax.cond`` coverage gate of :func:`make_windowed_scan_filter`
     cannot ride under ``vmap`` (it lowers to ``select`` and both paths

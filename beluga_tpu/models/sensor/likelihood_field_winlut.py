@@ -66,11 +66,22 @@ def _dc(cls, meta=()):
     )
 
 
-@(lambda c: _dc(c, meta=("pad_cells", "k_bins", "win", "dth")))
+def _win_xy(win) -> tuple[int, int]:
+    """Normalize the window spec: an int is square, a pair is
+    ``(win_x, win_y)``.  ``win_y`` is the kernel's lane/contraction dim
+    (keep it a 128-multiple); ``win_x`` only needs 8-alignment, so a
+    rectangular ``(64, 128)`` window halves the lookup MXU work."""
+    if isinstance(win, (tuple, list)):
+        wx, wy = int(win[0]), int(win[1])
+        return wx, wy
+    return int(win), int(win)
+
+
+@(lambda c: _dc(c, meta=("pad_cells", "k_bins", "win_x", "win_y", "dth")))
 class WindowedScanLut:
     """Windowed per-scan pose-likelihood maps.
 
-    ``values_t``: x-major ``bf16[k_bins, win(x), win(y)]`` pz³ sums;
+    ``values_t``: x-major ``bf16[k_bins, win_x, win_y]`` pz³ sums;
     ``x0/y0``: dynamic window origin in padded-field cells; ``theta0``:
     heading of bin 0 (bin j covers theta0 + j·dth); ``miss``: the
     all-beams-unknown weight for out-of-window particles.
@@ -85,7 +96,8 @@ class WindowedScanLut:
     world_to_field: SE2
     pad_cells: int
     k_bins: int
-    win: int
+    win_x: int
+    win_y: int
     dth: float
 
 
@@ -107,10 +119,12 @@ def window_geometry(
     filters/builders.py make_windowed_scan_filter)."""
     if resolution_hint is None:
         resolution_hint = float(jax.device_get(field.resolution))
+    win_x, win_y = _win_xy(win)
     res = field.resolution
     pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
     h, w = field.values.shape
-    hp, wp = max(h + 2 * pad, win + 2 * pad), max(w + 2 * pad, win + 2 * pad)
+    hp = max(h + 2 * pad, win_y + 2 * pad)
+    wp = max(w + 2 * pad, win_x + 2 * pad)
     tf_center = field.world_to_field @ SE2.from_xytheta(
         center_x, center_y, center_theta
     )
@@ -118,8 +132,8 @@ def window_geometry(
     cy = jnp.floor(tf_center.y / res).astype(jnp.int32) + pad
     # clamped so the scan-radius ring around the window stays inside the
     # padded image
-    x0 = jnp.clip(cx - win // 2, pad, wp - win - pad)
-    y0 = jnp.clip(cy - win // 2, pad, hp - win - pad)
+    x0 = jnp.clip(cx - win_x // 2, pad, wp - win_x - pad)
+    y0 = jnp.clip(cy - win_y // 2, pad, hp - win_y - pad)
     # θ grid anchored ABSOLUTELY (quantized to dth), like the cell-quantized
     # xy origin — a grid anchored to the cloud mean gives the mean-θ
     # particles exact bin values while off-mean particles pay the lerp
@@ -151,9 +165,11 @@ def build_windowed_scan_lut(
     if resolution_hint is None:
         resolution_hint = float(jax.device_get(field.resolution))
 
+    win_x, win_y = _win_xy(win)
     res = field.resolution
     padded, pad = _pad_field_cubed(field, max_point_radius, resolution_hint)
-    hr = wr = win + 2 * pad
+    hr = win_y + 2 * pad
+    wr = win_x + 2 * pad
     hp, wp = padded.shape
     unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
     # maps smaller than the window: grow the pad band (fill = unknown³)
@@ -181,9 +197,10 @@ def build_windowed_scan_lut(
     jj = jnp.arange(wr, dtype=jnp.float32)
     fy_mat = jnp.exp(-2j * jnp.pi * ii[:, None] * ii[None, :] / hr)
     fx_mat = jnp.exp(-2j * jnp.pi * jj[:, None] * jj[None, :] / wr)
-    hh = jnp.arange(win, dtype=jnp.float32) + pad
-    ify = jnp.exp(2j * jnp.pi * hh[:, None] * ii[None, :] / hr) / hr
-    ifx = jnp.exp(2j * jnp.pi * hh[:, None] * jj[None, :] / wr) / wr
+    hh_y = jnp.arange(win_y, dtype=jnp.float32) + pad
+    hh_x = jnp.arange(win_x, dtype=jnp.float32) + pad
+    ify = jnp.exp(2j * jnp.pi * hh_y[:, None] * ii[None, :] / hr) / hr
+    ifx = jnp.exp(2j * jnp.pi * hh_x[:, None] * jj[None, :] / wr) / wr
     spectrum = fy_mat @ region.astype(jnp.complex64) @ fx_mat.T  # [HR, WR]
 
     th = theta0 + jnp.arange(k_bins, dtype=jnp.float32) * dth
@@ -198,7 +215,7 @@ def build_windowed_scan_lut(
     wy = wy * beam_mask[None, :, None]
     footprint = jnp.einsum("kbh,kbw->khw", wy, wx)  # [K, HR, WR]
     t1 = jnp.einsum("khw,xw->khx", spectrum[None] * footprint, ifx)
-    values = jnp.einsum("yh,khx->kyx", ify, t1).real  # [K, win(y), win(x)]
+    values = jnp.einsum("yh,khx->kyx", ify, t1).real  # [K, win_y, win_x]
 
     miss = 1.0 + jnp.sum(jnp.where(beam_mask, unknown3, 0.0))
     return WindowedScanLut(
@@ -211,7 +228,8 @@ def build_windowed_scan_lut(
         world_to_field=field.world_to_field,
         pad_cells=pad,
         k_bins=k_bins,
-        win=win,
+        win_x=win_x,
+        win_y=win_y,
         dth=dth,
     )
 
@@ -255,6 +273,7 @@ def windowed_coverage_from_center(
     """Coverage fraction for a window that *would* be built around
     ``center_*`` — no correlation build, so a fallback gate can run before
     paying for :func:`build_windowed_scan_lut`."""
+    win_x, win_y = _win_xy(win)
     x0, y0, theta0, pad = window_geometry(
         field, center_x, center_y, center_theta, k_bins=k_bins, win=win,
         dth=dth, max_point_radius=max_point_radius,
@@ -266,7 +285,7 @@ def windowed_coverage_from_center(
     )
     xi, yi, t = xi[::stride], yi[::stride], t[::stride]
     ok = (
-        (xi >= 0) & (xi <= win - 1) & (yi >= 0) & (yi <= win - 1)
+        (xi >= 0) & (xi <= win_x - 1) & (yi >= 0) & (yi <= win_y - 1)
         & (t >= 0) & (jnp.floor(t) <= k_bins - 2)
     )
     return jnp.mean(ok.astype(jnp.float32))
@@ -274,7 +293,7 @@ def windowed_coverage_from_center(
 
 def coverage_tiled_from_coords(
     xi: Array, yi: Array, t: Array,
-    k_bins: int, win: int, tile: int, tblk: int,
+    k_bins: int, win, tile: int, tblk: int,
 ) -> Array:
     """Fraction of particles the winlut kernel would actually score —
     including the per-tile θ-slab: ops/pallas_winlut.py gives each
@@ -286,6 +305,7 @@ def coverage_tiled_from_coords(
     over-spread cloud can no longer pass the gate and silently score miss
     (advisor finding r2).
     """
+    win_x, win_y = _win_xy(win)
     tblk = min(tblk, k_bins)  # mirror winlut_lookup's clamp
     n = xi.shape[0]
     n_pad = -(-n // tile) * tile
@@ -301,8 +321,8 @@ def coverage_tiled_from_coords(
     )
     k0rel = jnp.floor(tt) - t_lo[:, None]
     ok = (
-        ((xi_p >= 0) & (xi_p <= win - 1) & (yi_p >= 0)
-         & (yi_p <= win - 1)).reshape(-1, tile)
+        ((xi_p >= 0) & (xi_p <= win_x - 1) & (yi_p >= 0)
+         & (yi_p <= win_y - 1)).reshape(-1, tile)
         & (k0rel >= 0.0)
         & (k0rel <= tblk - 2)
     )
@@ -343,7 +363,7 @@ def windowed_coverage(lut: WindowedScanLut, states: SE2, stride: int = 8) -> Arr
     xi, yi, t = windowed_coords(lut, states)
     xi, yi, t = xi[::stride], yi[::stride], t[::stride]
     ok = (
-        (xi >= 0) & (xi <= lut.win - 1) & (yi >= 0) & (yi <= lut.win - 1)
+        (xi >= 0) & (xi <= lut.win_x - 1) & (yi >= 0) & (yi <= lut.win_y - 1)
         & (t >= 0) & (jnp.floor(t) <= lut.k_bins - 2)
     )
     return jnp.mean(ok.astype(jnp.float32))

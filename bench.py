@@ -260,17 +260,29 @@ class WinlutMega:
         # exact_tail_frac 1/16: covers ~2x the typical 2-3% stray fraction
         # (the gate-free mode has no exact fallback, so margin matters)
         # while saving ~2 ms/step over the 1/8 default at 1M
-        # tblk=24 + sort_interval=4: the deeper theta slab absorbs 4 steps
-        # of motion-noise diffusion between re-sorts (16.3 -> 15.1 ms/step
-        # at 1M; tblk=16 with skipped sorts DIVERGES — r4 sweep)
+        # r4-tuned mega config (each knob measured at 1M, K=96, NOTES.md):
+        #   * rectangular (64, 128) window halves the lookup MXU work;
+        #   * tblk=24 absorbs 4 steps of motion-noise theta diffusion
+        #     between re-sorts (tblk=16 with skipped sorts DIVERGES);
+        #   * bounded recovery pool removes the per-step 1M random gen;
+        #   * selective resampling (Grisetti ESS < N/2 — the reference's
+        #     own selective_resampling option, amcl_core.hpp:121) skips
+        #     the resample pass while the winlut weights stay flat;
+        #   * no exact tail (selective resampling culls miss-scored
+        #     strays at the next resample; err mean 0.084 == tail 1/16);
+        #   * the theta sort runs on a STATIC 4-sub-step schedule inside
+        #     the scan body (sort_now), removing the runtime conditional
+        #     and its 1M-buffer copies.
+        # 16.9 -> 6.9 ms/step vs round 3 at unchanged accuracy.
         models_w, self.ctx_w = make_windowed_scan_filter(
-            ctx_b["grid"], k_bins=64, win=128, max_point_radius=3.6,
+            ctx_b["grid"], k_bins=64, win=(64, 128), max_point_radius=3.6,
             tile=512, tblk=24, recovery_candidates=256,
-            coverage_threshold=0.0, exact_tail_frac=0.0625,
+            coverage_threshold=0.0, exact_tail_frac=0.0,
         )
         params = AmclParams(
             max_particles=n_mega, min_particles=n_mega, sorted_slots=True,
-            resampling="systematic", sort_interval=4,
+            resampling="systematic", recovery_pool=4096,
+            selective_resampling=True,
         )
         import functools
 
@@ -278,12 +290,19 @@ class WinlutMega:
         tmap = jax.tree_util.tree_map
         self._t0f = t0f = lambda t: tmap(lambda l: l[0], t)  # noqa: E731
         self.state0 = t0f(state)
+        self.sub = sub = 4  # static sort schedule: sort on sub-step 0
+        assert k_scan % sub == 0
 
         def scan_all(ctx, st, od, p, m):
             def body(s, inp):
-                s = s._replace(force_update=jnp.asarray(True))
-                s, est = step(ctx, s, inp[0], inp[1], inp[2])
-                return s, est
+                odi, pi, mi = inp
+                ests = []
+                for j in range(sub):
+                    oj = tmap(lambda l, j=j: l[j], odi)
+                    s = s._replace(force_update=jnp.asarray(True))
+                    s, est = step(ctx, s, oj, pi[j], mi[j], sort_now=(j == 0))
+                    ests.append(est)
+                return s, tmap(lambda *es: jnp.stack(es), *ests)
 
             return jax.lax.scan(body, st, (od, p, m))
 
@@ -294,9 +313,13 @@ class WinlutMega:
         jnp, tmap = self.jnp, self.jax.tree_util.tree_map
         od = tmap(lambda *ls: jnp.stack(ls),
                   *[self._t0f(self.odoms[i0 + i]) for i in range(self.k_scan)])
-        return (od,
-                jnp.stack([self.pts[i0 + i][0] for i in range(self.k_scan)]),
-                jnp.stack([self.mks[i0 + i][0] for i in range(self.k_scan)]))
+        pts = jnp.stack(
+            [self.pts[i0 + i][0] for i in range(self.k_scan)])
+        mks = jnp.stack(
+            [self.mks[i0 + i][0] for i in range(self.k_scan)])
+        sub = self.sub
+        resh = lambda l: l.reshape((self.k_scan // sub, sub) + l.shape[1:])  # noqa: E731
+        return tmap(resh, od), resh(pts), resh(mks)
 
     def warm(self):
         od, p, mm = self._stack(0)
@@ -321,7 +344,7 @@ class WinlutMega:
         # tracking-accuracy gate on the last measured block (perfect
         # odometry ground truth): a diverged filter must not post a
         # headline
-        ex = np.asarray(jax.device_get(ests.pose.xy))
+        ex = np.asarray(jax.device_get(ests.pose.xy)).reshape(k_scan, 2)
         gx = np.asarray(
             [[float(self.odoms[i0 + i].x[0]), float(self.odoms[i0 + i].y[0])]
              for i in range(k_scan)])
