@@ -253,7 +253,9 @@ class WinlutMega:
 
         self.jax, self.jnp = jax, jnp
         if n_mega is None:
-            n_mega = int(os.environ.get("BENCH_MEGA", "1048576"))
+            # 2M beats 1M at the r4 config (1.59e8 vs 1.52e8 u/s: the
+            # remaining fixed costs — DFT build, dispatch — amortize)
+            n_mega = int(os.environ.get("BENCH_MEGA", "2097152"))
         self.n_mega, self.k_scan, self.reps = n_mega, k_scan, reps
         built = build(1, n_mega, BEAMS, steps=k_scan * (reps + 1) + 8)
         _, ctx_b, state, self.odoms, self.pts, self.mks, _ = built
