@@ -353,11 +353,22 @@ def decode_pointcloud2_cdr(data: bytes) -> np.ndarray:
     point_step = r.read("I", 4)
     row_step = r.read("I", 4)
     data_len = r.read("I", 4)
+    if r.pos + data_len > len(data):
+        raise ValueError("malformed PointCloud2 CDR message")
     payload = np.frombuffer(data, np.uint8, count=data_len, offset=r.pos)
     if point_step == 0:
         raise ValueError("malformed PointCloud2 CDR message")
     if row_step == 0:
         row_step = width * point_step
+    # bounds validation BEFORE the as_strided views (which do no bounds
+    # checking of their own) — same checks as the native decoder
+    itemsize = np.dtype(scalar).itemsize
+    if any(off + itemsize > point_step for off in offs):
+        raise ValueError("xyz field offset beyond point_step")
+    if height and (
+        (height - 1) * row_step + width * point_step > data_len
+    ):
+        raise ValueError("PointCloud2 data shorter than its layout")
     out = np.empty((height * width, 3), np.float32)
     for k, off in enumerate(offs):
         # strided view: rows x cols of the k-th scalar field

@@ -43,6 +43,62 @@ def read_bag_topics(bag_path: str | Path) -> dict:
     return {name: (tid, typ, fmt) for tid, name, typ, fmt in rows}
 
 
+
+def _pick_topic(topics, explicit, types, name_hint=None, exclude=()):
+    """Resolve a topic: explicit name (validated) or the first match."""
+    if explicit is not None:
+        if explicit not in topics:
+            raise KeyError(f"topic {explicit!r} not in bag: {list(topics)}")
+        return explicit
+    for name, (_, typ, _) in sorted(topics.items()):
+        if typ in types and name not in exclude:
+            if name_hint is None or name_hint in name:
+                return name
+    return None
+
+
+def _pick_odom_topics(topics, odom_topic, ground_truth_topic):
+    """(odom, ground_truth) selection shared by both stream readers: the
+    ground-truth topic matches by name hint; a perfect-odometry recording
+    whose only Odometry topic IS the ground truth drives the filter with
+    it too."""
+    ground_truth_topic = _pick_topic(
+        topics, ground_truth_topic, _ODOM_TYPES, name_hint="ground_truth"
+    )
+    odom_topic = _pick_topic(
+        topics, odom_topic, _ODOM_TYPES, exclude=(ground_truth_topic or "",)
+    )
+    if odom_topic is None and ground_truth_topic is not None:
+        odom_topic = ground_truth_topic
+    if odom_topic is None:
+        raise ValueError(f"no Odometry topic in bag: {list(topics)}")
+    return odom_topic, ground_truth_topic
+
+
+def _fetch_rows(db, topics, topic):
+    tid = topics[topic][0]
+    return db.execute(
+        "SELECT timestamp, data FROM messages WHERE topic_id = ?"
+        " ORDER BY timestamp",
+        (tid,),
+    ).fetchall()
+
+
+def _decode_odom_series(rows):
+    ts = np.asarray([t for t, _ in rows], np.int64)
+    poses = np.empty((len(rows), 3), np.float64)
+    for i, (_, blob) in enumerate(rows):
+        p = decode_odometry_cdr(bytes(blob))
+        poses[i] = (p[0], p[1], _quat_to_yaw(p[3], p[4], p[5], p[6]))
+    return ts, poses
+
+
+def _sample_at(ts, series, query_ts):
+    """Latest series entry at or before each query stamp (tf-lookup analog)."""
+    idx = np.clip(np.searchsorted(ts, query_ts, side="right") - 1, 0, len(ts) - 1)
+    return series[idx]
+
+
 def read_bag_stream(
     bag_path: str | Path,
     scan_topic: str | None = None,
@@ -63,59 +119,26 @@ def read_bag_stream(
     bag_path = Path(bag_path)
     topics = read_bag_topics(bag_path)
 
-    def pick(explicit, types, name_hint=None, exclude=()):
-        if explicit is not None:
-            if explicit not in topics:
-                raise KeyError(f"topic {explicit!r} not in bag: {list(topics)}")
-            return explicit
-        for name, (_, typ, _) in sorted(topics.items()):
-            if typ in types and name not in exclude:
-                if name_hint is None or name_hint in name:
-                    return name
-        return None
-
-    scan_topic = pick(scan_topic, _SCAN_TYPES)
+    scan_topic = _pick_topic(topics, scan_topic, _SCAN_TYPES)
     if scan_topic is None:
         raise ValueError(f"no LaserScan topic in bag: {list(topics)}")
-    ground_truth_topic = pick(
-        ground_truth_topic, _ODOM_TYPES, name_hint="ground_truth"
+    odom_topic, ground_truth_topic = _pick_odom_topics(
+        topics, odom_topic, ground_truth_topic
     )
-    odom_topic = pick(
-        odom_topic, _ODOM_TYPES, exclude=(ground_truth_topic or "",)
-    )
-    if odom_topic is None and ground_truth_topic is not None:
-        # a perfect-odometry recording whose only Odometry topic is the
-        # ground truth: drive the filter with it too
-        odom_topic = ground_truth_topic
-    if odom_topic is None:
-        raise ValueError(f"no Odometry topic in bag: {list(topics)}")
 
     with sqlite3.connect(f"file:{bag_path}?mode=ro", uri=True) as db:
-        def fetch(topic):
-            tid = topics[topic][0]
-            return db.execute(
-                "SELECT timestamp, data FROM messages WHERE topic_id = ?"
-                " ORDER BY timestamp",
-                (tid,),
-            ).fetchall()
-
-        scan_rows = fetch(scan_topic)
-        odom_rows = fetch(odom_topic)
-        gt_rows = fetch(ground_truth_topic) if ground_truth_topic else []
+        scan_rows = _fetch_rows(db, topics, scan_topic)
+        odom_rows = _fetch_rows(db, topics, odom_topic)
+        gt_rows = (
+            _fetch_rows(db, topics, ground_truth_topic)
+            if ground_truth_topic else []
+        )
 
     if not scan_rows or not odom_rows:
         raise ValueError("bag has no scan or no odometry messages")
 
-    def decode_odom_series(rows):
-        ts = np.asarray([t for t, _ in rows], np.int64)
-        poses = np.empty((len(rows), 3), np.float64)
-        for i, (_, blob) in enumerate(rows):
-            p = decode_odometry_cdr(bytes(blob))
-            poses[i] = (p[0], p[1], _quat_to_yaw(p[3], p[4], p[5], p[6]))
-        return ts, poses
-
-    odom_ts, odom_xyyaw = decode_odom_series(odom_rows)
-    gt_ts, gt_xyyaw = decode_odom_series(gt_rows) if gt_rows else (None, None)
+    odom_ts, odom_xyyaw = _decode_odom_series(odom_rows)
+    gt_ts, gt_xyyaw = _decode_odom_series(gt_rows) if gt_rows else (None, None)
 
     params0 = None
     decoded = []
@@ -132,12 +155,8 @@ def read_bag_stream(
     for i, r in enumerate(decoded):
         scans[i, : len(r)] = r
 
-    def sample_at(ts, series, query_ts):
-        idx = np.clip(np.searchsorted(ts, query_ts, side="right") - 1, 0, len(ts) - 1)
-        return series[idx]
-
     stream = dict(
-        odom=sample_at(odom_ts, odom_xyyaw, scan_ts),
+        odom=_sample_at(odom_ts, odom_xyyaw, scan_ts),
         scans=scans,
         angle_min=np.float64(params0["angle_min"]),
         angle_increment=np.float64(params0["angle_increment"]),
@@ -145,7 +164,7 @@ def read_bag_stream(
         range_max=np.float64(params0["range_max"]),
     )
     if gt_ts is not None:
-        stream["ground_truth"] = sample_at(gt_ts, gt_xyyaw, scan_ts)
+        stream["ground_truth"] = _sample_at(gt_ts, gt_xyyaw, scan_ts)
     return stream
 
 
@@ -169,57 +188,26 @@ def read_bag_cloud_stream(
     bag_path = Path(bag_path)
     topics = read_bag_topics(bag_path)
 
-    def pick(explicit, types, name_hint=None, exclude=()):
-        if explicit is not None:
-            if explicit not in topics:
-                raise KeyError(f"topic {explicit!r} not in bag: {list(topics)}")
-            return explicit
-        for name, (_, typ, _) in sorted(topics.items()):
-            if typ in types and name not in exclude:
-                if name_hint is None or name_hint in name:
-                    return name
-        return None
-
-    cloud_topic = pick(cloud_topic, _CLOUD_TYPES)
+    cloud_topic = _pick_topic(topics, cloud_topic, _CLOUD_TYPES)
     if cloud_topic is None:
         raise ValueError(f"no PointCloud2 topic in bag: {list(topics)}")
-    ground_truth_topic = pick(
-        ground_truth_topic, _ODOM_TYPES, name_hint="ground_truth"
+    odom_topic, ground_truth_topic = _pick_odom_topics(
+        topics, odom_topic, ground_truth_topic
     )
-    odom_topic = pick(
-        odom_topic, _ODOM_TYPES, exclude=(ground_truth_topic or "",)
-    )
-    if odom_topic is None and ground_truth_topic is not None:
-        odom_topic = ground_truth_topic
-    if odom_topic is None:
-        raise ValueError(f"no Odometry topic in bag: {list(topics)}")
 
     with sqlite3.connect(f"file:{bag_path}?mode=ro", uri=True) as db:
-        def fetch(topic):
-            tid = topics[topic][0]
-            return db.execute(
-                "SELECT timestamp, data FROM messages WHERE topic_id = ?"
-                " ORDER BY timestamp",
-                (tid,),
-            ).fetchall()
-
-        cloud_rows = fetch(cloud_topic)
-        odom_rows = fetch(odom_topic)
-        gt_rows = fetch(ground_truth_topic) if ground_truth_topic else []
+        cloud_rows = _fetch_rows(db, topics, cloud_topic)
+        odom_rows = _fetch_rows(db, topics, odom_topic)
+        gt_rows = (
+            _fetch_rows(db, topics, ground_truth_topic)
+            if ground_truth_topic else []
+        )
 
     if not cloud_rows or not odom_rows:
         raise ValueError("bag has no cloud or no odometry messages")
 
-    def decode_odom_series(rows):
-        ts = np.asarray([t for t, _ in rows], np.int64)
-        poses = np.empty((len(rows), 3), np.float64)
-        for i, (_, blob) in enumerate(rows):
-            p = decode_odometry_cdr(bytes(blob))
-            poses[i] = (p[0], p[1], _quat_to_yaw(p[3], p[4], p[5], p[6]))
-        return ts, poses
-
-    odom_ts, odom_xyyaw = decode_odom_series(odom_rows)
-    gt_ts, gt_xyyaw = decode_odom_series(gt_rows) if gt_rows else (None, None)
+    odom_ts, odom_xyyaw = _decode_odom_series(odom_rows)
+    gt_ts, gt_xyyaw = _decode_odom_series(gt_rows) if gt_rows else (None, None)
 
     decoded = []
     cloud_ts = np.empty(len(cloud_rows), np.int64)
@@ -233,17 +221,13 @@ def read_bag_cloud_stream(
         clouds[i, : len(p)] = p
         mask[i, : len(p)] = np.isfinite(p).all(axis=-1)
 
-    def sample_at(ts, series, query_ts):
-        idx = np.clip(np.searchsorted(ts, query_ts, side="right") - 1, 0, len(ts) - 1)
-        return series[idx]
-
     stream = dict(
-        odom=sample_at(odom_ts, odom_xyyaw, cloud_ts),
+        odom=_sample_at(odom_ts, odom_xyyaw, cloud_ts),
         clouds=clouds,
         cloud_mask=mask,
     )
     if gt_ts is not None:
-        stream["ground_truth"] = sample_at(gt_ts, gt_xyyaw, cloud_ts)
+        stream["ground_truth"] = _sample_at(gt_ts, gt_xyyaw, cloud_ts)
     return stream
 
 

@@ -96,7 +96,7 @@ def _sum3(picked: Array, d: int, rows_out: int) -> Array:
     return s
 
 
-def _make_kernel_small(n_real: int, chunk: int, d: int):
+def _make_kernel_small(chunk: int, d: int):
     """Single-program kernel for small filters (n <= 2 * _NBLK): full
     interval mask per position chunk, static loop bounds (the dynamic
     block-range bookkeeping of the big-N kernel costs ~10% at fleet size).
@@ -106,7 +106,6 @@ def _make_kernel_small(n_real: int, chunk: int, d: int):
 
     def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref):
         del bounds_ref
-        n = cdf_ref.shape[1]
         m = u_ref.shape[1]
 
         cdf_col = cdf_ref[0, :][:, None]  # [N, 1]
@@ -131,9 +130,9 @@ def _make_kernel_small(n_real: int, chunk: int, d: int):
     return _kernel
 
 
-def _make_kernel(n_real: int, chunk: int, nblk: int, d: int):
-    """Kernel over padded arrays; ``n_real`` is the true particle count
-    (the open-ended last CDF interval sits at index n_real - 1)."""
+def _make_kernel(chunk: int, nblk: int, d: int):
+    """Kernel over padded arrays (the position contract u < 1.0 closes the
+    last real CDF interval; padded CDF entries sit at 2.0)."""
 
     def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref):
         n = cdf_ref.shape[1]
@@ -175,8 +174,6 @@ def _make_kernel(n_real: int, chunk: int, nblk: int, d: int):
             picked = jax.lax.fori_loop(
                 lob, hib, nblock, jnp.zeros((d3, chunk), jnp.float32)
             )  # [3D, C]
-            # the open-ended last interval (u >= cdf[-1]) lives in the block
-            # of n_real - 1, which [lob, hib) covers since bounds[-1] = 1
             out_ref[:, pl.ds(c * chunk, chunk)] = _sum3(picked, d, out_ref.shape[0])
             return 0
 
@@ -185,7 +182,7 @@ def _make_kernel(n_real: int, chunk: int, nblk: int, d: int):
     return _kernel
 
 
-def _make_kernel_huge(n_real: int, chunk: int, nblk: int, d: int):
+def _make_kernel_huge(chunk: int, nblk: int, d: int):
     """Like :func:`_make_kernel`, but the value planes AND the CDF arrays
     stay in HBM, with each touched particle block DMA'd into VMEM
     scratch: beyond ~2M particles even the two ``f32[N]`` CDF arrays blow
@@ -326,11 +323,11 @@ def resample_take(
     # keep it in HBM and let the kernel DMA per-block slices
     huge = d3_pad * n_pad * vals3.dtype.itemsize > _VMEM_VALS_LIMIT
     if small:
-        kernel = _make_kernel_small(n, chunk, d)
+        kernel = _make_kernel_small(chunk, d)
     elif huge:
-        kernel = _make_kernel_huge(n, chunk, nblk, d)
+        kernel = _make_kernel_huge(chunk, nblk, d)
     else:
-        kernel = _make_kernel(n, chunk, nblk, d)
+        kernel = _make_kernel(chunk, nblk, d)
     if huge:
         cdf_in = cdf.reshape(n_blocks, 1, nblk)
         prev_in = cdf_prev.reshape(n_blocks, 1, nblk)

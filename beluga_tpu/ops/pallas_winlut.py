@@ -180,8 +180,17 @@ def winlut_lookup(
         jnp.floor(jnp.min(t_in, axis=1)), 0.0, max(k_bins - tblk, 0)
     ).astype(jnp.int32)
     t_hi = jnp.floor(jnp.max(jnp.where(in_rng, t_tiles, -jnp.inf), axis=1))
-    span = jnp.clip(
-        t_hi.astype(jnp.int32) - t_lo + 2, 0, tblk
+    # all-stray tiles: max over an empty valid set is -inf, whose int32
+    # conversion is implementation-defined and whose subtraction wraps —
+    # select span 0 explicitly (their particles score miss regardless)
+    any_valid = jnp.any(in_rng, axis=1)
+    span = jnp.where(
+        any_valid,
+        jnp.clip(
+            jnp.where(any_valid, t_hi, 0.0).astype(jnp.int32) - t_lo + 2,
+            0, tblk,
+        ),
+        0,
     )
     # [n_tiles, 1, 8]: per-tile SMEM scalars need last-two block dims equal
     # to the array dims (Mosaic block-shape rule; cf. ops/pallas_beam_lut.py)

@@ -65,14 +65,23 @@ def multinomial_positions(key: Array, num: int) -> Array:
 
 def systematic_positions(key: Array, num: int) -> Array:
     u0 = jax.random.uniform(key, (), jnp.float32)
-    return (jnp.arange(num, dtype=jnp.float32) + u0) / num
+    # clamp below 1.0: (num-1+u0)/num rounds to exactly 1.0 in f32 for
+    # u0 near 1 at large num (P ~ num * 2^-25 per draw), and downstream
+    # interval kernels rely on u < 1.0 = cdf[-1] strictly
+    return jnp.minimum(
+        (jnp.arange(num, dtype=jnp.float32) + u0) / num,
+        jnp.float32(1.0 - 2.0**-24),
+    )
 
 
 def stratified_positions(key: Array, num: int) -> Array:
-    return (
-        jnp.arange(num, dtype=jnp.float32)
-        + jax.random.uniform(key, (num,), jnp.float32)
-    ) / num
+    return jnp.minimum(
+        (
+            jnp.arange(num, dtype=jnp.float32)
+            + jax.random.uniform(key, (num,), jnp.float32)
+        ) / num,
+        jnp.float32(1.0 - 2.0**-24),
+    )
 
 
 def sorted_multinomial_positions(key: Array, num: int) -> Array:
@@ -124,6 +133,19 @@ def sorted_residual_multinomial_positions(key: Array, r0: Array, num: int) -> Ar
     return jnp.where(slots < r0, 0.0, u)
 
 
+def interleave_stride(m: int, rows: int = 512) -> tuple[int, int]:
+    """Stride/group pair of the slot interleave: out[k] = in[(k % g)·r + k//g].
+
+    Shared by :func:`interleave_slots` and the mega filter's rank
+    permutation (parallel/mega.py) so both paths carry identical
+    KLD-prefix statistics.  Capped near sqrt(m): r = m and r = 1 both
+    degenerate to the identity."""
+    r = min(rows, max(int(m**0.5), 1))
+    while m % r:  # static: m and rows are trace-time constants
+        r -= 1
+    return r, m // r
+
+
 def interleave_slots(x: Array, rows: int = 512) -> Array:
     """Reorder the leading axis by a [rows, cols] transpose.
 
@@ -139,9 +161,7 @@ def interleave_slots(x: Array, rows: int = 512) -> Array:
     order, silently censoring small-filter KLD prefixes).
     """
     m = x.shape[0]
-    r = min(rows, max(int(m**0.5), 1))
-    while m % r:  # static: m and rows are trace-time constants
-        r -= 1
+    r, _g = interleave_stride(m, rows)
     # out[j] = in[(j % groups) * r + j // groups]: consecutive slots read
     # rank-stride r, so any prefix spans the whole sorted range
     lead = (m // r, r)

@@ -198,11 +198,12 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                     # (the same censoring fixed in filters/amcl.py); the
                     # interleave is free here — each slot just draws the
                     # position of a permuted RANK, donors come from the
-                    # gathered global CDF either way
-                    r = min(512, max(int(n_total**0.5), 1))
-                    while n_total % r:
-                        r -= 1
-                    g = n_total // r
+                    # gathered global CDF either way.  Same stride as
+                    # interleave_slots so fleet and mega paths carry
+                    # identical prefix statistics.
+                    from beluga_tpu.ops.resample import interleave_stride
+
+                    r, g = interleave_stride(n_total)
                     ranks = (global_slots % g) * r + global_slots // g
                 ranks_f = ranks.astype(jnp.float32)
                 k_res_s = jax.random.fold_in(k_res, shard)

@@ -399,3 +399,60 @@ def test_resample_take_huge_path_interpret(monkeypatch):
     idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
     np.testing.assert_array_equal(got, vals[:, idx].T)
     np.testing.assert_array_equal(want[: len(got)], got[: len(want)])
+
+
+def test_positions_strictly_below_one():
+    """All POSITIONERS keep u < 1.0 even when f32 rounding would hit 1.0
+    (code-review r4: (num-1+u0)/num rounds to exactly 1.0 at mega counts
+    with P ~ num * 2^-25 per draw, and the fused kernel's interval mask
+    would then select NO donor — an all-zero particle state)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beluga_tpu.ops import resample as rs
+
+    num = 2_097_152
+    # the raw formula really does round to 1.0 at the worst-case offset
+    worst = np.float32(num - 1 + np.float32(1.0 - 1e-8)) / np.float32(num)
+    assert worst == np.float32(1.0)
+    # adversarial u0 ~ 1: force the rounding case deterministically
+    for fn in (rs.systematic_positions, rs.stratified_positions):
+        orig = jax.random.uniform
+        try:
+            jax.random.uniform = lambda key, shape=(), *a, **k: jnp.full(
+                shape, 1.0 - 1e-8, jnp.float32
+            )
+            with jax.disable_jit():
+                u = np.asarray(fn(jax.random.PRNGKey(0), num))
+        finally:
+            jax.random.uniform = orig
+        assert u.max() < 1.0, fn.__name__
+
+
+def test_pointcloud2_fallback_bounds(monkeypatch):
+    """The pure-python PointCloud2 fallback rejects layouts whose strides
+    would read past the payload (code-review r4: as_strided does no
+    bounds checking)."""
+    import numpy as np
+    import pytest
+
+    from beluga_tpu.io import native
+    from tests.test_rosbag import encode_pointcloud2
+
+    monkeypatch.setattr(native, "_load", lambda: None)
+    pts = np.ones((4, 3), np.float32)
+    good = encode_pointcloud2(pts)
+    np.testing.assert_array_equal(native.decode_pointcloud2_cdr(good), pts)
+    # corrupt the z field offset beyond point_step: locate the offset u32
+    # of field "z" (name "z\x00" followed by aligned offset)
+    blob = bytearray(good)
+    at = blob.find(b"z\x00")
+    assert at > 0
+    off_pos = at + 2
+    off_pos += (-(off_pos - 4)) % 4  # CDR align 4 rel. to byte 4
+    import struct
+
+    struct.pack_into("<I", blob, off_pos, 4000)
+    with pytest.raises(ValueError):
+        native.decode_pointcloud2_cdr(bytes(blob))
