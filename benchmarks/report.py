@@ -331,6 +331,14 @@ def render_markdown(rows, meta, compare=None):
         "  are one TPU chip.",
         "",
     ]
+    # curated measurement sections (rooflines, regime studies) live in
+    # REPORT_EXTRA.md so regenerating the config matrix preserves them
+    import os as _os
+
+    extra = _os.path.join(_os.path.dirname(__file__), "REPORT_EXTRA.md")
+    if _os.path.exists(extra):
+        with open(extra) as f:
+            lines += [f.read()]
     return "\n".join(lines)
 
 

