@@ -36,20 +36,37 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
     from beluga_tpu.utils.profiling import LatencyRecorder
 
     cfg = load_config(params_yaml) if params_yaml else AmclNodeConfig()
+    clouds = None
     if str(input_npz).endswith((".db3", ".sqlite3")):
-        # rosbag2 bagfile: decode LaserScan/Odometry CDR blobs directly
-        # (io/rosbag.py) — the reference's bag-replay entry point
-        from beluga_tpu.io.rosbag import read_bag_stream
+        # rosbag2 bagfile: decode CDR blobs directly (io/rosbag.py) — the
+        # reference's bag-replay entry point.  A bag carrying PointCloud2
+        # instead of LaserScan traffic replays through the node's
+        # point-cloud input (amcl_node.cpp:236-239 alternative sensor)
+        from beluga_tpu.io.rosbag import (
+            _CLOUD_TYPES,
+            _SCAN_TYPES,
+            read_bag_cloud_stream,
+            read_bag_stream,
+            read_bag_topics,
+        )
 
-        data = read_bag_stream(input_npz)
+        types = {t for _, (_, t, _) in read_bag_topics(input_npz).items()}
+        if types & set(_SCAN_TYPES):
+            data = read_bag_stream(input_npz)
+        elif types & set(_CLOUD_TYPES):
+            data = read_bag_cloud_stream(input_npz)
+            clouds = np.asarray(data["clouds"], np.float32)
+        else:
+            raise ValueError("bag has neither LaserScan nor PointCloud2")
     else:
         data = np.load(input_npz)
     odom = np.asarray(data["odom"], np.float64)
-    scans = np.asarray(data["scans"], np.float32)
-    angle_min = float(data["angle_min"])
-    angle_inc = float(data["angle_increment"])
-    range_min = float(data["range_min"]) if "range_min" in data else cfg.laser_min_range
-    range_max = float(data["range_max"]) if "range_max" in data else min(cfg.laser_max_range, 1e9)
+    if clouds is None:
+        scans = np.asarray(data["scans"], np.float32)
+        angle_min = float(data["angle_min"])
+        angle_inc = float(data["angle_increment"])
+        range_min = float(data["range_min"]) if "range_min" in data else cfg.laser_min_range
+        range_max = float(data["range_max"]) if "range_max" in data else min(cfg.laser_max_range, 1e9)
 
     node = AmclNode(cfg)
     node.set_map(load_pgm_yaml(map_yaml))
@@ -77,9 +94,12 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
         pts_all = np.zeros((len(odom), mb, 2), np.float32)
         mask_all = np.zeros((len(odom), mb), bool)
         for t in range(len(odom)):
-            pts_all[t], mask_all[t] = node.prepare_scan(
-                scans[t], angle_min, angle_inc, range_min, range_max
-            )
+            if clouds is not None:
+                pts_all[t], mask_all[t] = node.prepare_point_cloud(clouds[t])
+            else:
+                pts_all[t], mask_all[t] = node.prepare_scan(
+                    scans[t], angle_min, angle_inc, range_min, range_max
+                )
         prep_s = _time.monotonic() - t_prep
 
         runner = jax.jit(lambda st, o, p, m: replay_on_device(
@@ -107,10 +127,13 @@ def run(map_yaml, input_npz, output_npz=None, params_yaml=None,
         est, est_idx = [], []
         for t in range(len(odom)):
             with recorder.measure():
-                res = node.handle_laser_scan(
-                    odom[t], scans[t], angle_min, angle_inc, range_min,
-                    range_max,
-                )
+                if clouds is not None:
+                    res = node.handle_point_cloud(odom[t], clouds[t])
+                else:
+                    res = node.handle_laser_scan(
+                        odom[t], scans[t], angle_min, angle_inc, range_min,
+                        range_max,
+                    )
             if res.valid:
                 est.append(res.pose)
                 est_idx.append(t)
