@@ -245,7 +245,7 @@ class WinlutMega:
     ~40-60 s) Mosaic compile can overlap the pending sync switch —
     VERDICT r3 #1: pay the readback switch concurrently with warmup."""
 
-    def __init__(self, jax, n_mega=None, k_scan=64, reps=3):
+    def __init__(self, jax, n_mega=None, k_scan=96, reps=3):
         import jax.numpy as jnp
 
         from beluga_tpu.filters.amcl import AmclParams, update
