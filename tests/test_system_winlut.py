@@ -148,3 +148,59 @@ def test_winlut_replay_with_recovery_bursts(world):
         assert ep <= ERROR_POS_GATE, f"pos error {ep:.3f} m at step {t}"
         assert ey <= ERROR_YAW_GATE, f"yaw error {np.rad2deg(ey):.1f} deg at step {t}"
     assert checked >= 20
+
+
+def test_winlut_selective_resampling_recovery(world):
+    """Recovery burst with selective resampling + sorted slots (the r4
+    bench regime, gated config): the theta sort now runs on its own
+    schedule outside the resample branch — without that, slot order
+    decays while ESS stays high and the slab overflows (measured
+    divergence, NOTES r4).  The filter must recover from a 25% uniform
+    scatter and track within the reference gates."""
+    grid, models, ctx, sim = world
+    params = AmclParams(
+        max_particles=N, min_particles=N, sorted_slots=True,
+        update_min_d=0.0, update_min_a=0.0,
+        selective_resampling=True,
+        # recovery machinery active so the burst is culled by resampling
+        alpha_slow=0.001, alpha_fast=0.1,
+    )
+    traj = drive_trajectory(grid, start_xy=(-1.7, 0.5), num_steps=48, seed=6)
+    k_init, k_state = jax.random.split(jax.random.PRNGKey(2))
+    states = sample_normal_se2(
+        k_init, N, SE2.from_xytheta(*traj[0]),
+        jnp.diag(jnp.asarray([0.1, 0.1, 0.05])),
+    )
+    from beluga_tpu.core.particles import tree_take, tree_where
+
+    states = tree_take(states, jnp.argsort(states.theta))
+    state = init_state(k_state, states, params)
+    step = jax.jit(functools.partial(update, params, models, ctx))
+
+    key = jax.random.PRNGKey(11)
+    burst_at = 20
+    errors = []
+    for t, (x, y, yaw) in enumerate(traj):
+        if t == burst_at:
+            key, kb, km = jax.random.split(key, 3)
+            randoms = sample_uniform_free_cells(
+                kb, N, grid.free_xy, grid.num_free
+            )
+            mask = jax.random.bernoulli(km, 0.25, (N,))
+            state = state._replace(
+                particles=state.particles.replace(
+                    state=tree_where(mask, randoms, state.particles.state)
+                ),
+                force_update=jnp.asarray(True),
+            )
+        pts, mask_b = sim.scan(SE2.from_xytheta(x, y, yaw), noise_sigma=0.01)
+        state, est = step(state, SE2.from_xytheta(x, y, yaw), pts, mask_b)
+        if bool(est.valid):
+            errors.append((t, np.hypot(float(est.pose.x) - x,
+                                       float(est.pose.y) - y)))
+
+    # tracks before the burst, recovers within 6 updates, tracks after
+    pre = [e for t, e in errors if t < burst_at]
+    post = [e for t, e in errors if t >= burst_at + 6]
+    assert pre and max(pre) <= ERROR_POS_GATE
+    assert post and max(post) <= ERROR_POS_GATE, max(post)
