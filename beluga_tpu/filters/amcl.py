@@ -496,7 +496,11 @@ def update(
 
             if sort_now is True:
                 particles = do_sort(particles)
-            elif params.sort_interval > 1 or params.selective_resampling:
+            elif (
+                params.sort_interval > 1
+                or params.selective_resampling
+                or params.resample_interval > 1
+            ):
                 # a runtime conditional, honored in un-vmapped (mega)
                 # programs — vmapped fleets flatten cond to select and
                 # gain nothing from intervals > 1

@@ -349,7 +349,8 @@ def decode_pointcloud2_cdr(data: bytes) -> np.ndarray:
     if len(set(dtypes)) != 1 or dtypes[0] not in (7, 8):
         raise ValueError("xyz fields must share one floating-point datatype")
     scalar = np.float32 if dtypes[0] == 7 else np.float64
-    r.read("B", 1)  # is_bigendian
+    if r.read("B", 1):  # is_bigendian: little-endian-only contract
+        raise ValueError("big-endian PointCloud2 payloads are unsupported")
     point_step = r.read("I", 4)
     row_step = r.read("I", 4)
     data_len = r.read("I", 4)

@@ -309,7 +309,11 @@ class AmclNode(BaseLifecycleNode):
         return self.handle_scan(odom_pose_xytheta, pts, mask)
 
     def handle_point_cloud(
-        self, odom_pose_xytheta, points_xyz, sensor_pose=(0.0, 0.0, 0.0)
+        self,
+        odom_pose_xytheta,
+        points_xyz,
+        sensor_pose=(0.0, 0.0, 0.0),
+        max_beams: int | None = None,
     ) -> ScanResult:
         """Process a 3D point cloud through the 2D filter.
 
@@ -319,14 +323,24 @@ class AmclNode(BaseLifecycleNode):
         flattens the cloud to (x, y) pairs in the base frame
         (beluga_ros/src/amcl.cpp:64-80).  ``points_xyz`` is ``[P, 3]`` (or
         ``[P, 2]``) in the sensor frame, e.g. from
-        ``io.native.decode_pointcloud2_cdr``; non-finite points are
-        masked and the cloud is take-evenly decimated to ``max_beams``.
+        ``io.native.decode_pointcloud2_cdr``.
+
+        **Capacity cap**: non-finite points are masked and the cloud is
+        take-evenly decimated to ``config.max_beams`` slots — a dense cloud
+        wider than that loses points relative to the reference adapters,
+        which feed *every* cloud point to the sensor model (the compiled
+        update needs a static beam capacity).  ``max_beams`` overrides the
+        capacity per call (e.g. sized to the bag's widest cloud, which
+        ``io.rosbag.read_bag_cloud_stream`` reports); a new capacity
+        recompiles the update program once.
         """
-        pts, mask = self.prepare_point_cloud(points_xyz, sensor_pose)
+        pts, mask = self.prepare_point_cloud(
+            points_xyz, sensor_pose, max_beams=max_beams
+        )
         return self.handle_scan(odom_pose_xytheta, pts, mask)
 
     def prepare_point_cloud(
-        self, points_xyz, sensor_pose=(0.0, 0.0, 0.0)
+        self, points_xyz, sensor_pose=(0.0, 0.0, 0.0), max_beams: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """The point-cloud adapter work alone: planar projection,
         sensor-frame transform, finiteness mask, ``max_beams`` decimation,
@@ -334,6 +348,7 @@ class AmclNode(BaseLifecycleNode):
         from beluga_tpu.io import native as _native
 
         cfg = self.config
+        cap = cfg.max_beams if max_beams is None else int(max_beams)
         p = np.asarray(points_xyz, np.float32)
         ok = np.isfinite(p[:, :2]).all(axis=-1)
         sx, sy, syaw = (float(v) for v in sensor_pose)
@@ -343,9 +358,9 @@ class AmclNode(BaseLifecycleNode):
         full = np.where(ok[:, None], np.stack([bx, by], -1), 0.0).astype(
             np.float32
         )
-        idx = _native.take_evenly_indices(len(p), cfg.max_beams)
-        pts = np.zeros((cfg.max_beams, 2), np.float32)
-        mask = np.zeros(cfg.max_beams, bool)
+        idx = _native.take_evenly_indices(len(p), cap)
+        pts = np.zeros((cap, 2), np.float32)
+        mask = np.zeros(cap, bool)
         pts[: len(idx)] = full[idx]
         mask[: len(idx)] = ok[idx]
         return pts, mask

@@ -146,6 +146,22 @@ def interleave_stride(m: int, rows: int = 512) -> tuple[int, int]:
     return r, m // r
 
 
+def interleave_ranks(k: Array, m: int, rows: int = 512) -> Array:
+    """Permuted rank for slot indices ``k`` — the index form of
+    :func:`interleave_slots` (``out[k] = in[interleave_ranks(k)]``).
+
+    When ``m`` has no divisor near sqrt(m) (prime capacities) the
+    transpose stride degenerates to the identity and would silently
+    re-censor the adaptive-KLD prefix; fall back to the full-cycle
+    coprime stride permutation ``(k·s) % m`` (a bijection for prime m),
+    which carries the same any-prefix-spans-the-CDF character."""
+    r, g = interleave_stride(m, rows)
+    if r == 1 and m > 4:
+        s = max(int(m**0.5), 2)
+        return (k * s) % m
+    return (k % g) * r + k // g
+
+
 def interleave_slots(x: Array, rows: int = 512) -> Array:
     """Reorder the leading axis by a [rows, cols] transpose.
 
@@ -162,6 +178,11 @@ def interleave_slots(x: Array, rows: int = 512) -> Array:
     """
     m = x.shape[0]
     r, _g = interleave_stride(m, rows)
+    if r == 1 and m > 4:
+        # prime m: the transpose is the identity — use the coprime stride
+        # permutation instead (a gather, but only for the non-composite
+        # capacities where the fast path cannot exist)
+        return jnp.take(x, interleave_ranks(jnp.arange(m), m, rows), axis=0)
     # out[j] = in[(j % groups) * r + j // groups]: consecutive slots read
     # rank-stride r, so any prefix spans the whole sorted range
     lead = (m // r, r)

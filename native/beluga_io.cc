@@ -280,7 +280,9 @@ int64_t decode_pointcloud2_cdr(
   if (dtype[0] != 7 && dtype[0] != 8) return -1;  // FLOAT32 / FLOAT64
   const int64_t scalar = dtype[0] == 7 ? 4 : 8;
 
-  c.read<uint8_t>();  // is_bigendian
+  // little-endian-only contract: reject big-endian payloads instead of
+  // silently decoding garbage coordinates
+  if (c.read<uint8_t>() != 0) return -1;  // is_bigendian
   const uint32_t point_step = c.read<uint32_t>();
   uint32_t row_step = c.read<uint32_t>();
   const uint32_t data_len = c.read<uint32_t>();
