@@ -94,17 +94,29 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                      axis: str = "tp", estimate_fn=None):
     """Full AMCL update for one particle-sharded filter.
 
-    Returns ``update(ctx, state, odom_pose, points, beam_mask) ->
-    (state, Estimate)`` where the particle leaves of ``state`` are sharded
-    ``P(axis)`` on ``mesh`` and everything else is replicated.  All four
-    resampling strategies are supported: each shard draws the positions of
-    its own output slots and searches them in the all-gathered global CDF
-    (systematic/stratified ride shared/iid per-rank offsets, multinomial is
-    per-shard iid, residual splits global ranks at the floor-copy count
-    r0).  ``sorted_slots`` is not supported (a global cross-shard sort
-    would serialize the step); adaptive KLD interleaves the ranks of
-    CDF-ordered strategies so the kept slot prefix is an unbiased
-    subsample.
+    Returns ``update(ctx, state, odom_pose, points, beam_mask, *,
+    sort_now=None) -> (state, Estimate)`` where the particle leaves of
+    ``state`` are sharded ``P(axis)`` on ``mesh`` and everything else is
+    replicated.  All four resampling strategies are supported: each shard
+    draws the positions of its own output slots and searches them in the
+    all-gathered global CDF (systematic/stratified ride shared/iid
+    per-rank offsets, multinomial is per-shard iid, residual splits global
+    ranks at the floor-copy count r0).  On TPU the CDF-ordered strategies
+    route the search + donor copy through the fused Pallas kernel
+    (ops/pallas_resample.py) against the gathered global state — the same
+    kernel as the dense fast path, so a 1-device mesh reproduces its
+    throughput.  Adaptive KLD interleaves the ranks of CDF-ordered
+    strategies so the kept slot prefix is an unbiased subsample.
+
+    ``sorted_slots`` (the winlut flagship contract) is supported via a
+    shard-LOCAL theta sort: slot order is statistically irrelevant to the
+    filter (filters/amcl.py:89-101) and the winlut kernel only needs
+    *local* theta banding per lane tile, so no cross-shard sort exists —
+    each shard orders its own slots by ``models.sort_key`` (strays-last
+    theta key by default, computed from shard-local moments) on the same
+    ``sort_interval`` schedule as the dense filter, with the same
+    ``sort_now`` static override for scan drivers.  ``recovery_pool``
+    splits the bounded injection pool evenly across shards.
 
     ``estimate_fn(states_local, weights_local, axis) -> (pose, cov)`` must
     reduce with collectives over ``axis``; the default is the SE2 estimate
@@ -112,17 +124,13 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
     """
     if estimate_fn is None:
         estimate_fn = _sharded_estimate_se2
-    if params.sorted_slots:
-        raise ValueError(
-            "sorted_slots is unsupported on the sharded mega path "
-            "(requires a global cross-shard sort); use the vmap fleet path"
-        )
     num_shards = mesh.shape[axis]
     n_total = params.max_particles
     assert n_total % num_shards == 0, "max_particles must divide the mesh axis"
     n_local = n_total // num_shards
 
-    def sharded_update(ctx, state: AmclState, odom_pose, points, beam_mask):
+    def sharded_update(ctx, state: AmclState, odom_pose, points, beam_mask,
+                       sort_now: bool | None = None):
         shard = jax.lax.axis_index(axis)
         slot0 = shard * n_local
         global_slots = slot0 + jnp.arange(n_local)
@@ -163,10 +171,13 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                 state.thrun, params.alpha_slow, params.alpha_fast, avg_weight
             )
 
-            resample_count = jnp.mod(
-                state.resample_count + 1, params.resample_interval
-            )
-            do_resample = resample_count == 0
+            # the counter cycles over resample_interval * sort_interval so
+            # it drives BOTH gates (same schedule as filters/amcl.py):
+            # resample at multiples of the interval, theta re-sort at every
+            # sort_interval-th resample (count == 0)
+            modulus = params.resample_interval * max(params.sort_interval, 1)
+            resample_count = jnp.mod(state.resample_count + 1, modulus)
+            do_resample = jnp.mod(resample_count, params.resample_interval) == 0
             if params.selective_resampling:
                 w_hat = jnp.where(mask, jnp.exp(log_w), 0.0)
                 ess = 1.0 / jnp.maximum(
@@ -191,6 +202,10 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                     ).astype(jnp.int32)
 
                 adaptive = params.min_particles < params.max_particles
+                fused = (
+                    jax.default_backend() == "tpu"
+                    and params.resampling in ("systematic", "stratified")
+                )
                 ranks = global_slots
                 if adaptive and params.resampling != "multinomial":
                     # CDF-ordered strategies would hand the adaptive-KLD
@@ -201,13 +216,13 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                     # gathered global CDF either way.  Same stride as
                     # interleave_slots so fleet and mega paths carry
                     # identical prefix statistics.
-                    from beluga_tpu.ops.resample import interleave_stride
+                    from beluga_tpu.ops.resample import interleave_ranks
 
-                    r, g = interleave_stride(n_total)
-                    ranks = (global_slots % g) * r + global_slots // g
+                    ranks = interleave_ranks(global_slots, n_total)
                 ranks_f = ranks.astype(jnp.float32)
                 k_res_s = jax.random.fold_in(k_res, shard)
 
+                gidx = None
                 if params.resampling == "multinomial":
                     # per-shard iid positions: the global multiset is iid
                     # multinomial (reference views/sample.hpp behavior)
@@ -218,7 +233,8 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                         ranks_f
                         + jax.random.uniform(k_res_s, (n_local,), jnp.float32)
                     ) / n_total
-                    gidx = _search(all_cdf, u)
+                    if not fused:
+                        gidx = _search(all_cdf, u)
                 elif params.resampling == "residual":
                     # deterministic floor(N·w) copies at global ranks < r0,
                     # iid multinomial draws over the residual CDF elsewhere
@@ -242,26 +258,87 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                 else:  # systematic (the mega default)
                     u0 = jax.random.uniform(k_res, (), jnp.float32)  # same all shards
                     u = (ranks_f + u0) / n_total
-                    gidx = _search(all_cdf, u)
+                    if not fused:
+                        gidx = _search(all_cdf, u)
                 gathered = _all_gather_states(new_states, axis)
-                donors = jax.tree_util.tree_map(
-                    lambda leaf: jnp.take(leaf, gidx, axis=0), gathered
-                )
+                if gidx is None:
+                    # fused Pallas CDF-search + donor copy against the
+                    # gathered global state (bit-exact; the dense fast
+                    # path's kernel, ops/pallas_resample.py) — positions
+                    # are sorted within the shard for the CDF-ordered
+                    # strategies, so block locality holds per shard.
+                    # Adaptive ranks are interleaved (not sorted): sort
+                    # the positions for the kernel and scatter back.
+                    from beluga_tpu.ops.pallas_resample import (
+                        resample_take_tree,
+                    )
 
-                randoms = models.random_state(ctx, k_rand_s, n_local, None)
-                inject = jax.random.bernoulli(k_mask_s, p_random, (n_local,))
-                candidates = tree_where(inject, randoms, donors)
+                    all_w = jax.lax.all_gather(w, axis).reshape(-1)
+                    if adaptive:
+                        order = jnp.argsort(u)
+                        donors_s = resample_take_tree(
+                            all_w, jnp.minimum(u[order], 1.0 - 2.0**-24),
+                            gathered,
+                        )
+                        inv = jnp.argsort(order)
+                        donors = jax.tree_util.tree_map(
+                            lambda l: jnp.take(l, inv, axis=0), donors_s
+                        )
+                    else:
+                        donors = resample_take_tree(
+                            all_w, jnp.minimum(u, 1.0 - 2.0**-24), gathered
+                        )
+                else:
+                    donors = jax.tree_util.tree_map(
+                        lambda leaf: jnp.take(leaf, gidx, axis=0), gathered
+                    )
 
-                hashes = models.hash_state(params, candidates)
-                all_hashes = jax.lax.all_gather(hashes, axis).reshape(-1)
-                k = distinct_prefix_count(all_hashes)
-                count = jnp.arange(1, n_total + 1, dtype=jnp.float32)
-                keep = (count <= params.min_particles) | (
-                    count <= kld_target_size(k, params.kld_epsilon, params.kld_z)
-                )
-                any_stop = jnp.any(~keep)
-                n_keep = jnp.where(any_stop, jnp.argmax(~keep), n_total)
-                new_active = jnp.minimum(n_keep, n_total).astype(jnp.int32)
+                pool = params.recovery_pool
+                pool_local = max(pool // num_shards, 8) if pool else 0
+                if pool_local and pool_local < n_local:
+                    # bounded-pool injection, split across shards: each
+                    # shard draws its injected COUNT ~ Binomial(n_local, p)
+                    # (clamped to its pool slice) and places its pool
+                    # entries at iid uniform local slots — summed over
+                    # shards this matches the dense bounded-pool semantics
+                    # (filters/amcl.py recovery_pool)
+                    randoms = models.random_state(ctx, k_rand_s, pool_local, None)
+                    k_cnt, k_slot = jax.random.split(k_mask_s)
+                    n_inj = jnp.minimum(
+                        jax.random.binomial(k_cnt, n_local, p_random),
+                        float(pool_local),
+                    )
+                    slots_r = jax.random.randint(
+                        k_slot, (pool_local,), 0, n_local
+                    )
+                    valid = jnp.arange(pool_local) < n_inj
+                    target = jnp.where(valid, slots_r, n_local)  # n_local -> dropped
+                    from beluga_tpu.core.particles import tree_scatter
+
+                    candidates = tree_scatter(donors, target, randoms)
+                else:
+                    randoms = models.random_state(ctx, k_rand_s, n_local, None)
+                    inject = jax.random.bernoulli(
+                        k_mask_s, p_random, (n_local,)
+                    )
+                    candidates = tree_where(inject, randoms, donors)
+
+                if params.min_particles >= params.max_particles:
+                    # fixed particle count: take_while_kld's `count <= min`
+                    # clause keeps exactly max particles — skip the hash
+                    # all_gather entirely (filters/amcl.py parity)
+                    new_active = jnp.int32(n_total)
+                else:
+                    hashes = models.hash_state(params, candidates)
+                    all_hashes = jax.lax.all_gather(hashes, axis).reshape(-1)
+                    k = distinct_prefix_count(all_hashes)
+                    count = jnp.arange(1, n_total + 1, dtype=jnp.float32)
+                    keep = (count <= params.min_particles) | (
+                        count <= kld_target_size(k, params.kld_epsilon, params.kld_z)
+                    )
+                    any_stop = jnp.any(~keep)
+                    n_keep = jnp.where(any_stop, jnp.argmax(~keep), n_total)
+                    new_active = jnp.minimum(n_keep, n_total).astype(jnp.int32)
                 new_log_w = jnp.where(
                     global_slots < new_active, 0.0, DEAD_LOG_WEIGHT
                 ).astype(jnp.float32)
@@ -274,6 +351,43 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
             cand, out_log_w, out_active, thrun = jax.lax.cond(
                 do_resample, do_resample_branch, skip_branch, (log_w, thrun)
             )
+
+            if params.sorted_slots and sort_now is not False:
+                # shard-LOCAL theta sort (winlut slab contract): slot order
+                # is statistically irrelevant and the kernel only needs
+                # local banding, so no cross-shard exchange is required.
+                # The strays-last default key uses shard-local moments —
+                # shards hold (stratified) subsamples of the same
+                # posterior, so local and global moments agree to O(1/√n).
+                # Dead slots sort last (inf keys), preserving the global
+                # live-prefix invariant per shard (live counts per shard
+                # are unchanged by a local permutation).
+                from beluga_tpu.core.particles import tree_sort_by
+                from beluga_tpu.filters.amcl import se2_sort_key
+
+                key_fn = models.sort_key or se2_sort_key
+
+                def do_sort(args):
+                    cand, log_w = args
+                    sort_keys = key_fn(cand)
+                    sort_keys = jnp.where(
+                        global_slots < out_active, sort_keys, jnp.inf
+                    )
+                    return tree_sort_by(sort_keys, (cand, log_w))
+
+                if sort_now is True:
+                    cand, out_log_w = do_sort((cand, out_log_w))
+                elif (
+                    params.sort_interval > 1
+                    or params.selective_resampling
+                    or params.resample_interval > 1
+                ):
+                    cand, out_log_w = jax.lax.cond(
+                        resample_count == 0, do_sort, lambda a: a,
+                        (cand, out_log_w),
+                    )
+                else:
+                    cand, out_log_w = do_sort((cand, out_log_w))
 
             out_mask = global_slots < out_active
             w_lin = jnp.where(out_mask, jnp.exp(out_log_w), 0.0)
@@ -302,7 +416,8 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
 
     particle_spec = P(axis)
 
-    def update(ctx, state: AmclState, odom_pose, points, beam_mask):
+    def update(ctx, state: AmclState, odom_pose, points, beam_mask, *,
+               sort_now: bool | None = None):
         def spec_like(tree, spec):
             return jax.tree_util.tree_map(lambda _: spec, tree)
 
@@ -326,8 +441,10 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
             covariance=P(),
             valid=P(),
         )
+        import functools
+
         f = jax.shard_map(
-            sharded_update,
+            functools.partial(sharded_update, sort_now=sort_now),
             mesh=mesh,
             in_specs=(
                 spec_like(ctx, P()),
