@@ -145,6 +145,11 @@ class AmclModels(NamedTuple):
     hash_state: Callable
     estimate: Callable
     motion_delta: Callable | None = None
+    # optional fused forward: (ctx, key, states, pose, prev_pose, points,
+    # beam_mask) -> (new_states, log_lik) replacing the separate
+    # propagate + log_weight calls with one Pallas pass over the particle
+    # state (ops/pallas_fused_step.py) — the mega-filter fast path.
+    fused_propagate_reweight: Callable | None = None
     # sort key for ``sorted_slots`` filters: (states) -> f32[N]; None uses
     # ``se2_sort_key`` (theta + strays-last).  Slot order is statistically
     # irrelevant; the
@@ -315,8 +320,16 @@ def update(
         prev_pose = tree_where(state.control_seeded, state.control_prev, odom_pose)
 
         # -- propagate | reweight | normalize -------------------------------
-        new_states = models.propagate(ctx, k_prop, particles.state, odom_pose, prev_pose)
-        log_lik = models.log_weight(ctx, new_states, points, beam_mask)
+        if models.fused_propagate_reweight is not None:
+            new_states, log_lik = models.fused_propagate_reweight(
+                ctx, k_prop, particles.state, odom_pose, prev_pose, points,
+                beam_mask,
+            )
+        else:
+            new_states = models.propagate(
+                ctx, k_prop, particles.state, odom_pose, prev_pose
+            )
+            log_lik = models.log_weight(ctx, new_states, points, beam_mask)
         log_w = jnp.where(mask, particles.log_weight + log_lik, DEAD_LOG_WEIGHT)
         particles = ParticleSet(new_states, log_w, particles.active)
         particles = normalize(particles)

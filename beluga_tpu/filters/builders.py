@@ -322,9 +322,26 @@ def make_windowed_scan_filter(
     coverage_threshold: float = 0.98,
     recovery_candidates: int = 0,
     exact_tail_frac: float = 0.125,
+    table_dtype: str = "bf16",
+    fused: bool = False,
 ):
     """Likelihood-field AMCL through the *windowed* per-scan pose LUT —
     the single-(mega-)filter tracking fast path.
+
+    ``table_dtype="int8"`` quantizes the window table — measured a
+    REGRESSION on v5e (the per-slab one-hot quantization and int32
+    accumulate cost more than the 2x MXU rate buys: 8.78 vs 7.42 ms/step
+    at 1M, NOTES.md r5); kept for smaller-VMEM use cases only.
+
+    ``fused=True`` replaces the separate propagate + reweight with ONE
+    Pallas pass over the particle state (ops/pallas_fused_step.py):
+    diff-drive sampling, window coordinates, the θ-slab lookup and the
+    weight log all happen per lane tile with no [N]-sized intermediates.
+    The window is built around the *predicted* center (pre-propagate
+    cloud mean ∘ noiseless odometry delta) so the build precedes the
+    kernel; requires a DifferentialDriveParams motion model and
+    ``exact_tail_frac=0`` (the selective-resampling flagship regime —
+    strays score miss and are culled at the next resample).
 
     Per update the reweight builds a ``k_bins × win × win`` pose-likelihood
     window around the propagated cloud's mean (DFT correlation on the MXU,
@@ -397,7 +414,9 @@ def make_windowed_scan_filter(
 
         def fast(_):
             lut = build_windowed_scan_lut(
-                field, points, beam_mask, cx, cy, ct, **geo
+                field, points, beam_mask, cx, cy, ct,
+                table_dtype=table_dtype,
+                padded_cubed=ctx.get("field_pad3"), **geo,
             )
             # clamp before the log: bf16 Gibbs ringing near unknown-space
             # discontinuities can push 1 + Σpz³ non-positive, and a single
@@ -436,15 +455,114 @@ def make_windowed_scan_filter(
 
         return jax.lax.cond(cov >= coverage_threshold, fast, exact, None)
 
+    fused_fn = None
+    if fused:
+        if not isinstance(motion_params, DifferentialDriveParams):
+            raise ValueError(
+                "fused=True requires a DifferentialDriveParams motion model "
+                "(the fused kernel implements its sampler in-kernel)"
+            )
+        if exact_tail_frac > 0.0:
+            raise ValueError(
+                "fused=True requires exact_tail_frac=0 (the fused kernel "
+                "scores every slot; strays take the miss weight)"
+            )
+        from beluga_tpu.lie import SE2, SO2
+        from beluga_tpu.models.motion.differential_drive import (
+            diff_drive_decompose,
+        )
+        from beluga_tpu.ops.pallas_fused_step import (
+            fused_propagate_winlut,
+            pack_scalars,
+        )
+
+        k_bins_ = k_bins
+
+        def fused_fn(ctx, key, states, pose, prev, points, beam_mask):
+            field = ctx["field"]
+            # predicted window center: pre-propagate cloud mean composed
+            # with the noiseless odometry delta (the same construction as
+            # make_winlut_fleet_update's prediction) — lets the LUT build
+            # precede the fused kernel; the prediction differs from the
+            # propagated mean by the O(noise/√N) sample mean shift, far
+            # inside the window margins
+            delta = prev.inverse() @ pose
+            mth = jnp.arctan2(
+                jnp.mean(states.rot.sin), jnp.mean(states.rot.cos)
+            )
+            mean_pose = SE2.from_xytheta(
+                jnp.mean(states.x), jnp.mean(states.y), mth
+            )
+            pred = mean_pose @ delta
+            cx, cy, ct = pred.x, pred.y, pred.theta
+
+            def fast(_):
+                lut = build_windowed_scan_lut(
+                    field, points, beam_mask, cx, cy, ct,
+                    table_dtype=table_dtype,
+                    padded_cubed=ctx.get("field_pad3"), **geo,
+                )
+                (r1m, r1s), (tm, ts), (r2m, r2s) = diff_drive_decompose(
+                    motion_params, pose, prev
+                )
+                wf = lut.world_to_field
+                wf_angle = jnp.arctan2(wf.rot.sin, wf.rot.cos)
+                center = lut.theta0 + (k_bins_ // 2) * dth
+                scal = pack_scalars(
+                    r1m, r1s, tm, ts, r2m, r2s, wf,
+                    1.0 / lut.resolution,
+                    -0.5 + (lut.pad_cells - lut.x0.astype(jnp.float32)),
+                    -0.5 + (lut.pad_cells - lut.y0.astype(jnp.float32)),
+                    wf_angle - center, 1.0 / dth, float(k_bins_ // 2),
+                    lut.miss, 1.0,
+                )
+                z = jax.random.normal(
+                    key, (3, states.x.shape[0]), jnp.float32
+                )
+                xo, yo, co, so, lw = fused_propagate_winlut(
+                    states.x, states.y, states.theta, z,
+                    lut.values_t, scal, tile=tile, tblk=tblk,
+                    interpret=not on_tpu,
+                )
+                new_states = SE2(
+                    jnp.stack([xo, yo], -1), SO2(jnp.stack([co, so], -1))
+                )
+                return new_states, lw
+
+            if coverage_threshold <= 0.0:
+                return fast(None)
+
+            predicted = states @ delta  # noiseless per-particle prediction
+            cov = windowed_coverage_tiled_from_center(
+                field, predicted, cx, cy, ct, tile=tile, tblk=tblk, **geo
+            )
+            propagate = make_motion_fn(motion_params)
+
+            def exact(_):
+                ns = propagate(ctx, key, states, pose, prev)
+                return ns, jnp.log(exact_weights(ctx, ns, points, beam_mask))
+
+            return jax.lax.cond(cov >= coverage_threshold, fast, exact, None)
+
     models = AmclModels(
         propagate=make_motion_fn(motion_params),
         log_weight=log_weight,
         random_state=make_grid_random_state_fn(recovery_candidates),
         hash_state=default_hash_state,
         estimate=default_estimate,
+        fused_propagate_reweight=fused_fn,
     )
     field = make_likelihood_field(lf_params, grid)
     ctx = {"grid": grid, "field": field}
+    # map-static padded pz³ image: the per-scan LUT build otherwise
+    # re-cubes + re-pads the field every update (~0.27 ms/step at 1M)
+    from beluga_tpu.models.sensor.likelihood_field_winlut import (
+        precompute_padded_field,
+    )
+
+    ctx["field_pad3"] = precompute_padded_field(
+        field, win, max_point_radius, resolution_hint=res_hint
+    )
     if on_tpu:
         ctx["field_codes"] = _make_field_codes(field, lf_params, grid)
     return models, ctx

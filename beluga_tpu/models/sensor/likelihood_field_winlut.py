@@ -99,6 +99,44 @@ class WindowedScanLut:
     win_x: int
     win_y: int
     dth: float
+    # quantization scale for int8 tables (real value = entry · scale);
+    # None/1.0 for bf16 tables
+    scale: Array | None = None
+
+
+def _grow_padded(padded: Array, pad: int, field: LikelihoodField,
+                 win_x: int, win_y: int) -> Array:
+    """Maps smaller than the window: grow the pad band (fill = unknown³)."""
+    hr = win_y + 2 * pad
+    wr = win_x + 2 * pad
+    hp, wp = padded.shape
+    unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
+    if hp < hr:
+        padded = jnp.concatenate(
+            [padded, jnp.full((hr - hp, wp), unknown3, jnp.float32)], axis=0
+        )
+        hp = hr
+    if wp < wr:
+        padded = jnp.concatenate(
+            [padded, jnp.full((hp, wr - wp), unknown3, jnp.float32)], axis=1
+        )
+    return padded
+
+
+def precompute_padded_field(
+    field: LikelihoodField,
+    win,
+    max_point_radius: float = 4.0,
+    resolution_hint: float | None = None,
+) -> Array:
+    """Map-static padded pz³ image for :func:`build_windowed_scan_lut` —
+    compute once per map and pass as ``padded_cubed`` so the per-scan
+    build skips the cube + pad of the full field."""
+    if resolution_hint is None:
+        resolution_hint = float(jax.device_get(field.resolution))
+    win_x, win_y = _win_xy(win)
+    padded, pad = _pad_field_cubed(field, max_point_radius, resolution_hint)
+    return _grow_padded(padded, pad, field, win_x, win_y)
 
 
 def window_geometry(
@@ -156,33 +194,41 @@ def build_windowed_scan_lut(
     dth: float = 2.0 * np.pi / 128.0,
     max_point_radius: float = 4.0,
     resolution_hint: float | None = None,
+    table_dtype: str = "bf16",
+    padded_cubed: Array | None = None,
 ) -> WindowedScanLut:
     """Build the windowed LUT for one scan around a cloud center.
 
     ``center_*`` are in world coordinates (traced scalars — typically the
     propagated cloud's mean).  ``resolution_hint`` must be given under jit.
+
+    ``table_dtype``: ``"bf16"`` (default) or ``"int8"`` — int8 stores
+    ``round(values / scale)`` with a per-build scale and runs the lookup
+    at the MXU's 2x int8 rate (quantization error <= scale/2 ≈ 0.4% of
+    the table max, the same order as bf16 mantissa granularity).
+
+    ``padded_cubed``: optional map-static padded pz³ image from
+    :func:`precompute_padded_field` — re-cubing and re-padding the field
+    per scan costs ~0.27 ms/step at mega scale on v5e.
     """
     if resolution_hint is None:
         resolution_hint = float(jax.device_get(field.resolution))
 
     win_x, win_y = _win_xy(win)
     res = field.resolution
-    padded, pad = _pad_field_cubed(field, max_point_radius, resolution_hint)
+    if padded_cubed is not None:
+        padded = padded_cubed
+        pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
+    else:
+        padded = _grow_padded(
+            *_pad_field_cubed(field, max_point_radius, resolution_hint),
+            field, win_x, win_y,
+        )
+        pad = int(np.ceil(max_point_radius / resolution_hint)) + 2
     hr = win_y + 2 * pad
     wr = win_x + 2 * pad
     hp, wp = padded.shape
     unknown3 = (jnp.zeros((), jnp.float32) + field.unknown_prob) ** 3
-    # maps smaller than the window: grow the pad band (fill = unknown³)
-    if hp < hr:
-        padded = jnp.concatenate(
-            [padded, jnp.full((hr - hp, wp), unknown3, jnp.float32)], axis=0
-        )
-        hp = hr
-    if wp < wr:
-        padded = jnp.concatenate(
-            [padded, jnp.full((hp, wr - wp), unknown3, jnp.float32)], axis=1
-        )
-        wp = wr
 
     x0, y0, theta0, _ = window_geometry(
         field, center_x, center_y, center_theta,
@@ -218,8 +264,18 @@ def build_windowed_scan_lut(
     values = jnp.einsum("yh,khx->kyx", ify, t1).real  # [K, win_y, win_x]
 
     miss = 1.0 + jnp.sum(jnp.where(beam_mask, unknown3, 0.0))
+    values_t = values.transpose(0, 2, 1)
+    if table_dtype == "int8":
+        scale = jnp.maximum(jnp.max(values_t), 1e-6) / 127.0
+        values_t = jnp.clip(
+            jnp.round(values_t / scale), -128, 127
+        ).astype(jnp.int8)
+    else:
+        scale = None
+        values_t = values_t.astype(jnp.bfloat16)
     return WindowedScanLut(
-        values_t=values.transpose(0, 2, 1).astype(jnp.bfloat16),
+        values_t=values_t,
+        scale=scale,
         x0=x0,
         y0=y0,
         theta0=theta0,
@@ -390,4 +446,5 @@ def windowed_scan_lut_weights(
     return winlut_lookup(
         lut.values_t, xi, yi, t, lut.miss, base=1.0,
         tile=tile, tblk=tblk, interpret=interpret,
+        scale=1.0 if lut.scale is None else lut.scale,
     )

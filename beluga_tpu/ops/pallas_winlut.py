@@ -52,11 +52,12 @@ Array = jax.Array
 
 
 def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
-                 dynamic_span: bool = False):
+                 dynamic_span: bool = False, int8_table: bool = False):
     def kernel(scal_ref, tlo_ref, xi_ref, yi_ref, t_ref, vals_ref, out_ref,
                acc_ref):
         miss = scal_ref[0, 0]
         base = scal_ref[0, 1]
+        scale = scal_ref[0, 2]
         t_lo = tlo_ref[0, 0, 0]
         p = xi_ref.shape[1]
 
@@ -95,16 +96,28 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
         # NOTES.md r4.  Per-slab pl.when predication is worse still
         # (stalls the slab-load pipeline: 24.6 vs 16.9 ms/step e2e).
         span = tlo_ref[0, 0, 1]
-        acc_ref[...] = jnp.zeros((wx, p), jnp.float32)
+        acc_dtype = jnp.int32 if int8_table else jnp.float32
+        acc_ref[...] = jnp.zeros((wx, p), acc_dtype)
 
         def slab_dot(j, carry):
             # θ-lerp tent: (1-a)·[k₀rel=j] + a·[k₀rel=j-1] == relu(1-|u-j|)
             wj = jnp.maximum(1.0 - jnp.abs(u - j.astype(jnp.float32)), 0.0)
-            ohy = (wj * tent_y).astype(vals_ref.dtype)
             slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
-            acc_ref[...] += jax.lax.dot(
-                slab, ohy, preferred_element_type=jnp.float32
-            )
+            if int8_table:
+                # int8 x int8 -> int32 rides the MXU at 2x the bf16 rate;
+                # the one-hot carries BOTH lerp weights quantized to 1/127
+                # (<= 0.4% of full scale — below the bf16 table's own
+                # mantissa granularity).  The combined table+one-hot scale
+                # (scale / 127) is applied once after the x-select.
+                ohy = jnp.round(wj * tent_y * 127.0).astype(jnp.int8)
+                acc_ref[...] += jax.lax.dot(
+                    slab, ohy, preferred_element_type=jnp.int32
+                )
+            else:
+                ohy = (wj * tent_y).astype(vals_ref.dtype)
+                acc_ref[...] += jax.lax.dot(
+                    slab, ohy, preferred_element_type=jnp.float32
+                )
             return carry
 
         if dynamic_span:
@@ -113,7 +126,10 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
             for j in range(tblk):  # static unroll: tblk dots per tile
                 slab_dot(jnp.int32(j), 0)
         wx_sel = jnp.maximum(1.0 - jnp.abs(xf - iota_x), 0.0)
-        val = jnp.sum(wx_sel * acc_ref[...], axis=0, keepdims=True)
+        acc = acc_ref[...]
+        if int8_table:
+            acc = acc.astype(jnp.float32) * (scale * (1.0 / 127.0))
+        val = jnp.sum(wx_sel * acc, axis=0, keepdims=True)
 
         valid = (
             (xf >= 0.0) & (xf <= wx - 1.0) & (yf >= 0.0) & (yf <= wy - 1.0)
@@ -138,11 +154,14 @@ def winlut_lookup(
     tblk: int = 16,
     interpret: bool = False,
     dynamic_span: bool = False,
+    scale: Array | float = 1.0,
 ) -> Array:
     """Evaluate ``base + lerp_θ(L[t, yi, xi])`` per particle; ``f32[N]``.
 
     Args:
-      values_t: ``bf16[K, Wx, Wy]`` x-major windowed LUT.
+      values_t: ``bf16[K, Wx, Wy]`` x-major windowed LUT — or
+        ``int8[K, Wx, Wy]`` quantized values (real value = entry ·
+        ``scale``), which run the lookup dots at the MXU's 2x int8 rate.
       xi, yi: f32[N] FRACTIONAL window-cell coordinates (pre-offset by
         the window origin; bilinear in x/y, out-of-range ⇒ miss).
       t: f32[N] fractional θ-bin coordinate (k₀ = floor(t) and k₀+1 are
@@ -200,18 +219,24 @@ def winlut_lookup(
     )
 
     scal = jnp.stack(
-        [jnp.asarray(miss, jnp.float32), jnp.asarray(base, jnp.float32)]
+        [
+            jnp.asarray(miss, jnp.float32),
+            jnp.asarray(base, jnp.float32),
+            jnp.asarray(scale, jnp.float32),
+        ]
     )[None, :]
 
+    int8_table = values_t.dtype == jnp.int8
     vals = values_t
-    if interpret:  # CPU has no bf16 matmul path worth testing; use f32
+    if interpret and not int8_table:
+        # CPU has no bf16 matmul path worth testing; use f32
         vals = values_t.astype(jnp.float32)
 
     out = pl.pallas_call(
-        _make_kernel(k_bins, wx, wy, tblk, dynamic_span),
+        _make_kernel(k_bins, wx, wy, tblk, dynamic_span, int8_table),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -222,7 +247,9 @@ def winlut_lookup(
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((wx, tile), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((wx, tile), jnp.int32 if int8_table else jnp.float32)
+        ],
         interpret=interpret,
     )(scal, t_lo, xi_p, yi_p, t_p, vals)
     return out[0, :n]

@@ -156,10 +156,16 @@ def make_mega_update(params: AmclParams, models: AmclModels, mesh: Mesh,
                 state.control_seeded, state.control_prev, odom_pose
             )
 
-            new_states = models.propagate(
-                ctx, k_prop_s, particles.state, odom_pose, prev_pose
-            )
-            log_lik = models.log_weight(ctx, new_states, points, beam_mask)
+            if models.fused_propagate_reweight is not None:
+                new_states, log_lik = models.fused_propagate_reweight(
+                    ctx, k_prop_s, particles.state, odom_pose, prev_pose,
+                    points, beam_mask,
+                )
+            else:
+                new_states = models.propagate(
+                    ctx, k_prop_s, particles.state, odom_pose, prev_pose
+                )
+                log_lik = models.log_weight(ctx, new_states, points, beam_mask)
             log_w = jnp.where(
                 mask, particles.log_weight + log_lik, DEAD_LOG_WEIGHT
             )

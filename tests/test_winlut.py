@@ -224,3 +224,99 @@ def test_tiled_coverage_models_theta_slab(setup):
     )
     frac_scored = np.mean(w != float(lut.miss))
     assert abs(frac_scored - cov_unsorted) < 0.02, (frac_scored, cov_unsorted)
+
+
+def test_winlut_int8_table_close_to_bf16(setup):
+    """int8-quantized window tables (per-build scale) track the bf16
+    values to ~1% relative (table quant 0.4% + one-hot lerp quant 0.4%).
+    Note: int8 measured SLOWER than bf16 on v5e for this kernel
+    (benchmarks/NOTES r5) — the path exists for VMEM-constrained tables."""
+    field, points, mask, lut16 = setup
+    lut8 = build_windowed_scan_lut(
+        field, points, mask, *map(jnp.float32, CENTER),
+        k_bins=32, win=64, dth=2.0 * np.pi / 128.0,
+        max_point_radius=2.5, resolution_hint=0.1, table_dtype="int8",
+    )
+    assert lut8.values_t.dtype == jnp.int8
+    states = _cloud_states(512)
+    w16 = np.asarray(
+        windowed_scan_lut_weights(lut16, states, tile=128, tblk=8, interpret=True)
+    )
+    w8 = np.asarray(
+        windowed_scan_lut_weights(lut8, states, tile=128, tblk=8, interpret=True)
+    )
+    rel = np.abs(w8 - w16) / np.maximum(np.abs(w16), 1e-6)
+    assert rel.mean() < 0.01, rel.mean()
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_fused_step_matches_unfused(setup):
+    """The fused propagate+coords+winlut+log kernel
+    (ops/pallas_fused_step.py) reproduces the separate propagate +
+    log_weight chain: identical normal draws -> bit-close states, and
+    log-likelihoods equal up to the predicted-vs-propagated window-center
+    quantization (well under the bf16 table granularity here)."""
+    from beluga_tpu.filters.builders import make_windowed_scan_filter
+    from beluga_tpu.maps.occupancy import OCCUPIED_VALUE as OCC, make_grid as mk
+
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCC
+    data[25:30, 40:45] = OCC
+    grid = mk(data, 0.1)
+    kw = dict(k_bins=32, win=(32, 128), max_point_radius=6.5, tile=128,
+              tblk=12, coverage_threshold=0.0, exact_tail_frac=0.0)
+    models_u, ctx = make_windowed_scan_filter(grid, **kw)
+    models_f, _ = make_windowed_scan_filter(grid, fused=True, **kw)
+    _, points, mask, _ = setup
+    states = _cloud_states(512)
+    pose = SE2.from_xytheta(*CENTER)
+    k = jax.random.PRNGKey(3)
+    ns_u = models_u.propagate(ctx, k, states, pose, pose)
+    ll_u = models_u.log_weight(ctx, ns_u, points, mask)
+    ns_f, ll_f = models_f.fused_propagate_reweight(
+        ctx, k, states, pose, pose, points, mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(ns_u.x), np.asarray(ns_f.x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ns_u.rot.z), np.asarray(ns_f.rot.z), atol=1e-5
+    )
+    dll = np.abs(np.asarray(ll_u) - np.asarray(ll_f))
+    assert dll.max() < 1e-3, dll.max()
+
+
+def test_fused_step_coverage_gate_falls_back(setup):
+    """With a coverage threshold, the fused path gates on the PREDICTED
+    cloud and falls back to exact propagate + reweight when the cloud
+    does not fit the kernel's window contract."""
+    from beluga_tpu.filters.builders import make_windowed_scan_filter
+    from beluga_tpu.maps.occupancy import OCCUPIED_VALUE as OCC, make_grid as mk
+
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCC
+    grid = mk(data, 0.1)
+    kw = dict(k_bins=32, win=(32, 128), max_point_radius=6.5, tile=128,
+              tblk=12, exact_tail_frac=0.0)
+    models_f, ctx = make_windowed_scan_filter(
+        grid, fused=True, coverage_threshold=0.95, **kw
+    )
+    _, points, mask, _ = setup
+    pose = SE2.from_xytheta(*CENTER)
+    k = jax.random.PRNGKey(4)
+    # scattered cloud (uniform over the map, unsorted): gate must trip the
+    # exact fallback -> no particle scores the winlut miss weight
+    rng = np.random.default_rng(9)
+    scattered = SE2.from_xytheta(
+        jnp.asarray(rng.uniform(0.5, 5.9, 256), jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 5.9, 256), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, 256), jnp.float32),
+    )
+    ns, ll = models_f.fused_propagate_reweight(
+        ctx, k, scattered, pose, pose, points, mask
+    )
+    assert np.isfinite(np.asarray(ll)).all()
+    # exact weights have full spread; a winlut miss plateau would collapse
+    # most values to one constant
+    vals, counts = np.unique(np.round(np.asarray(ll), 5), return_counts=True)
+    assert counts.max() < 128, "fallback did not engage (miss plateau)"
