@@ -516,6 +516,11 @@ def make_windowed_scan_filter(
                     wf_angle - center, 1.0 / dth, float(k_bins_ // 2),
                     lut.miss, 1.0,
                 )
+                # normals from XLA threefry (~0.5 ms/step at 2M): the
+                # in-kernel PRNG alternative (kernel_prng=True) measured
+                # SLOWER overall (11.0 vs 8.4 ms/step at 2M — Mosaic's
+                # per-tile prng_random_bits + Box-Muller costs more VPU
+                # time than the threefry fusions it removes; NOTES r5)
                 z = jax.random.normal(
                     key, (3, states.x.shape[0]), jnp.float32
                 )

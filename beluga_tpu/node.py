@@ -63,9 +63,21 @@ class AmclNode(BaseLifecycleNode):
     """2D AMCL node over occupancy-grid maps (managed lifecycle)."""
 
     def __init__(self, config: AmclNodeConfig | None = None, seed: int = 0,
-                 verbose: bool = False, autostart: bool = True):
+                 verbose: bool = False, autostart: bool = True,
+                 pipelined: bool = False):
+        """``pipelined=True`` defers the per-scan estimate readback by one
+        scan: ``handle_scan`` enqueues scan t's update (device-side state
+        chaining — no host sync) and harvests scan t-1's estimate, which
+        the accelerator finished during the inter-scan gap.  The ~3-4 ms
+        per-dispatch round-trip of remote/accelerator runtimes then
+        overlaps the next scan's host work instead of serializing with it
+        (VERDICT r4 #7); the published estimate lags by one scan (the
+        ScanResult carries its own scan's odometry for the TF
+        correction).  The reference node publishes synchronously
+        (amcl_node.cpp:581-647); synchronous remains the default."""
         self.config = config or AmclNodeConfig()
         self.verbose = verbose
+        self.pipelined = pipelined
         self._seed = seed
         self.latest_viz: tuple[np.ndarray, np.ndarray] | None = None
         self.dropped_scans = 0
@@ -82,6 +94,7 @@ class AmclNode(BaseLifecycleNode):
         self._grid: OccupancyGrid | None = None
         self._step = None
         self._first_map_set = False
+        self._pending = None  # (est_device, odom_xytheta) of the in-flight scan
 
     # -- lifecycle hooks (ros2_common.hpp do_* virtuals) --------------------
 
@@ -232,7 +245,30 @@ class AmclNode(BaseLifecycleNode):
             jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
         )
         self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
+        if self.pipelined:
+            # enqueue-only: harvest the PREVIOUS scan's estimate (computed
+            # during the inter-scan gap) and leave this one in flight
+            prev, self._pending = self._pending, (est, odom_pose_xytheta)
+            if prev is None:
+                return ScanResult(
+                    False, None, None, None, time.perf_counter() - t0
+                )
+            est_prev, odom_prev = prev
+            return self._finalize(
+                jax.device_get(est_prev), odom_prev, t0, mask
+            )
         est = jax.device_get(est)
+        return self._finalize(est, odom_pose_xytheta, t0, mask)
+
+    def flush(self) -> ScanResult | None:
+        """Harvest the in-flight scan's estimate (pipelined mode)."""
+        if self._pending is None:
+            return None
+        t0 = time.perf_counter()
+        (est, odom_prev), self._pending = self._pending, None
+        return self._finalize(jax.device_get(est), odom_prev, t0, None)
+
+    def _finalize(self, est, odom_pose_xytheta, t0, mask) -> ScanResult:
         latency = time.perf_counter() - t0
         if not bool(est.valid):
             return ScanResult(False, None, None, None, latency)
@@ -242,7 +278,7 @@ class AmclNode(BaseLifecycleNode):
         )
         cov = np.asarray(est.covariance)
         self.last_known_estimate = (pose, cov)
-        if self.verbose:
+        if self.verbose and mask is not None:
             # per-update log line, like amcl_node.cpp:612-615
             n = int(jax.device_get(self._state.particles.active))
             b = int(np.asarray(jax.device_get(mask)).sum())

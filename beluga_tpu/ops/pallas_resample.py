@@ -182,15 +182,35 @@ def _make_kernel(chunk: int, nblk: int, d: int):
     return _kernel
 
 
+# particle blocks per DMA granule (huge path).  span=4 was measured
+# SLOWER in-step at 2M (10.0 vs 8.4 ms/step): each granule pays 4x the
+# [NBLK, C] compare work, which outweighs the 2.5x trip reduction — the
+# loop is compare-, not DMA-latency-, bound.  The span machinery stays
+# (correct for any span via per-block predicates) with span=1.
+_HUGE_SPAN = 1
+
+
 def _make_kernel_huge(chunk: int, nblk: int, d: int):
     """Like :func:`_make_kernel`, but the value planes AND the CDF arrays
-    stay in HBM, with each touched particle block DMA'd into VMEM
+    stay in HBM, with the touched particle blocks DMA'd into VMEM
     scratch: beyond ~2M particles even the two ``f32[N]`` CDF arrays blow
     the scoped-VMEM budget (16 MiB at N = 2M), and the ``[3D, N]`` bf16
     table does so far earlier.  The CDF arrays arrive reshaped
     ``[n_blocks, 1, nblk]`` so a block is a LEADING-dim slice — tiled
     memref DMA slices need tile-multiple extents, and only the leading
-    dims of a >=3-D memref are untiled (docs/kernels.md field notes)."""
+    dims of a >=3-D memref are untiled (docs/kernels.md field notes).
+
+    DMA granule = ``_HUGE_SPAN`` consecutive blocks per copy (r5): the
+    r4 one-block-per-trip loop paid ~1.2 us of serialized DMA latency
+    per trip (~5k trips at 2M = ~6 ms per fire — latency-, not
+    bandwidth-, bound).  Sorted positions make each chunk's donor span
+    ~chunk/nblk + 1 consecutive blocks, so one 4-block copy covers a
+    whole chunk in the common case; a dynamic granule loop with
+    per-block predicates keeps arbitrary weight concentration correct
+    (a granule whose clamped window re-covers earlier blocks masks them
+    out)."""
+
+    span = _HUGE_SPAN
 
     def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref,
                 vblk_ref, cblk_ref, pblk_ref, sem, csem, psem):
@@ -207,14 +227,24 @@ def _make_kernel_huge(chunk: int, nblk: int, d: int):
             hib = jnp.minimum(
                 jnp.sum((bounds <= u_max).astype(jnp.int32)) + 1, n_blocks
             )
+            n_gran = (hib - lob + span - 1) // span
 
-            def nblock(b, acc):
-                cc = pltpu.make_async_copy(cdf_ref.at[pl.ds(b, 1)], cblk_ref, csem)
+            def granule(gi, acc):
+                # clamped window start: the DMA always reads span blocks
+                # in-bounds (n_pad is a span*nblk multiple); the per-block
+                # predicate masks out blocks outside this granule's
+                # intended range [lob + gi*span, min(lob+(gi+1)*span, hib))
+                g0 = jnp.minimum(lob + gi * span, n_blocks - span)
+                cc = pltpu.make_async_copy(
+                    cdf_ref.at[pl.ds(g0, span)], cblk_ref, csem
+                )
                 pc = pltpu.make_async_copy(
-                    cdf_prev_ref.at[pl.ds(b, 1)], pblk_ref, psem
+                    cdf_prev_ref.at[pl.ds(g0, span)], pblk_ref, psem
                 )
                 vc = pltpu.make_async_copy(
-                    vals_ref.at[:, pl.ds(pl.multiple_of(b * nblk, nblk), nblk)],
+                    vals_ref.at[
+                        :, pl.ds(pl.multiple_of(g0 * nblk, nblk), span * nblk)
+                    ],
                     vblk_ref, sem,
                 )
                 cc.start()
@@ -222,19 +252,24 @@ def _make_kernel_huge(chunk: int, nblk: int, d: int):
                 vc.start()
                 cc.wait()
                 pc.wait()
-                cdf_b = cblk_ref[0, 0, :][:, None]
-                prev_b = pblk_ref[0, 0, :][:, None]
-                # no is_last clause: u < 1.0 = cdf[n_real-1] strictly
-                mask = (u >= prev_b) & (u < cdf_b)  # [NBLK, C]
                 vc.wait()
-                vals_b = vblk_ref[...]
-                return acc + jnp.dot(
-                    vals_b, mask.astype(vals_b.dtype),
-                    preferred_element_type=jnp.float32,
-                )
+                lo_b = lob + gi * span
+                for j in range(span):  # static sub-blocks, VMEM-resident
+                    b_abs = g0 + j
+                    keep = (b_abs >= lo_b) & (b_abs < hib)
+                    cdf_b = cblk_ref[j, 0, :][:, None]
+                    prev_b = pblk_ref[j, 0, :][:, None]
+                    # no is_last clause: u < 1.0 = cdf[n_real-1] strictly
+                    mask = keep & (u >= prev_b) & (u < cdf_b)  # [NBLK, C]
+                    vals_b = vblk_ref[:, pl.ds(j * nblk, nblk)]
+                    acc = acc + jnp.dot(
+                        vals_b, mask.astype(vals_b.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc
 
             picked = jax.lax.fori_loop(
-                lob, hib, nblock, jnp.zeros((d3, chunk), jnp.float32)
+                0, n_gran, granule, jnp.zeros((d3, chunk), jnp.float32)
             )  # [3D, C]
             out_ref[:, pl.ds(c * chunk, chunk)] = _sum3(picked, d, out_ref.shape[0])
             return 0
@@ -294,8 +329,17 @@ def resample_take(
     cdf_prev = jnp.pad(cdf[:-1], (1, 0))
 
     # pad the particle axis to the kernel's block size; padded CDF entries
-    # sit at 2.0 so no position (u < 1.5) ever selects them
-    n_pad = -(-n // nblk) * nblk
+    # sit at 2.0 so no position (u < 1.5) ever selects them.  The huge
+    # path's clamped fixed-span DMA windows additionally need n_pad to be
+    # a span*nblk multiple (decided below on the un-span-padded size —
+    # span padding never flips a huge table back under the VMEM limit)
+    huge_probe = (
+        (-(-(3 * d) // 8) * 8) * (-(-n // nblk) * nblk)
+        * (4 if interpret else 2)
+        > _VMEM_VALS_LIMIT
+    )
+    blk_unit = nblk * (_HUGE_SPAN if huge_probe else 1)
+    n_pad = -(-n // blk_unit) * blk_unit
     cdf = jnp.pad(cdf, (0, n_pad - n), constant_values=2.0)
     cdf_prev = jnp.pad(cdf_prev, (0, n_pad - n), constant_values=2.0)
 
@@ -321,7 +365,9 @@ def resample_take(
     small = n_pad <= 2 * nblk
     # beyond ~2M particles the whole [3D, N] value table exceeds VMEM —
     # keep it in HBM and let the kernel DMA per-block slices
-    huge = d3_pad * n_pad * vals3.dtype.itemsize > _VMEM_VALS_LIMIT
+    huge = huge_probe  # probe used the un-span-padded size: when it is
+    # False, blk_unit == nblk and the sizes coincide; when True, span
+    # padding only grows the table further past the limit
     if small:
         kernel = _make_kernel_small(chunk, d)
     elif huge:
@@ -333,9 +379,9 @@ def resample_take(
         prev_in = cdf_prev.reshape(n_blocks, 1, nblk)
         cdf_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((d3_pad, nblk), vals3.dtype),
-            pltpu.VMEM((1, 1, nblk), jnp.float32),
-            pltpu.VMEM((1, 1, nblk), jnp.float32),
+            pltpu.VMEM((d3_pad, _HUGE_SPAN * nblk), vals3.dtype),
+            pltpu.VMEM((_HUGE_SPAN, 1, nblk), jnp.float32),
+            pltpu.VMEM((_HUGE_SPAN, 1, nblk), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

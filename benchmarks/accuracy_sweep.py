@@ -108,6 +108,192 @@ def run_sweep(steps=600, counts=DEFAULT_COUNTS, seed=5, num_beams=60,
     return rows
 
 
+def _noisy_odoms(traj, alphas, seed):
+    """Accumulated odometry drift: re-integrate the trajectory's relative
+    motions with Thrun-style noise on (heading, translation, rotation),
+    scaled by the nav2 alphas (default.ros2.yaml) — the noisy-odometry
+    operating regime of the reference sweep."""
+    a1, a2, a3, a4 = alphas
+    rng = np.random.default_rng(seed)
+    out = [np.asarray(traj[0], np.float64)]
+    cur = np.asarray(traj[0], np.float64).copy()
+    for t in range(1, len(traj)):
+        prev, now = np.asarray(traj[t - 1]), np.asarray(traj[t])
+        c, s = np.cos(prev[2]), np.sin(prev[2])
+        dx = c * (now[0] - prev[0]) + s * (now[1] - prev[1])
+        dy = -s * (now[0] - prev[0]) + c * (now[1] - prev[1])
+        dth = np.arctan2(np.sin(now[2] - prev[2]), np.cos(now[2] - prev[2]))
+        trans = float(np.hypot(dx, dy))
+        trans_n = trans + rng.normal(
+            0.0, np.sqrt(a3 * trans**2 + a4 * dth**2) + 1e-12
+        )
+        dth_n = dth + rng.normal(
+            0.0, np.sqrt(a1 * dth**2 + a2 * trans**2) + 1e-12
+        )
+        scale = trans_n / max(trans, 1e-9)
+        cc, cs = np.cos(cur[2]), np.sin(cur[2])
+        cur = np.array([
+            cur[0] + cc * dx * scale - cs * dy * scale,
+            cur[1] + cs * dx * scale + cc * dy * scale,
+            np.arctan2(np.sin(cur[2] + dth_n), np.cos(cur[2] + dth_n)),
+        ])
+        out.append(cur)
+    return np.stack(out)
+
+
+def run_profiles(steps=958, seed=5, num_beams=60):
+    """Accuracy under PRODUCTION configurations (VERDICT r4 #5): the nav2
+    default profile (adaptive KLD 500-2000, motion gating 0.25 m/0.2 rad,
+    resample_interval 1, nav2 alphas from
+    /root/reference/beluga_example/params/default.ros2.yaml:1-80) across
+    likelihood-field / beam sensors, selective resampling on/off, and a
+    noisy-odometry regime — full-length (958-scan) replays, per-update
+    0.9 m / 30 deg reference system gate
+    (beluga_system_tests/test/test_system.cpp:133-134)."""
+    import jax
+    import jax.numpy as jnp
+
+    from beluga_tpu.core.random import sample_normal_se2
+    from beluga_tpu.filters.amcl import AmclParams, init_state
+    from beluga_tpu.filters.builders import (
+        make_beam_filter,
+        make_likelihood_field_filter,
+    )
+    from beluga_tpu.io.replay import (
+        ScanSimulator,
+        ScanSpec,
+        drive_trajectory,
+        replay_on_device,
+    )
+    from beluga_tpu.lie import SE2
+    from beluga_tpu.maps.occupancy import load_pgm_yaml
+    from beluga_tpu.models.motion.differential_drive import (
+        DifferentialDriveParams,
+    )
+    from beluga_tpu.utils.metrics import ape
+
+    grid = load_pgm_yaml(TURTLEBOT_YAML)
+    traj = drive_trajectory(grid, start_xy=(-1.7, 0.5), num_steps=steps,
+                            seed=seed)
+    sim = ScanSimulator(
+        grid, ScanSpec(num_beams=num_beams, max_beams=num_beams)
+    )
+    key = jax.random.PRNGKey(3)
+    pts_l, mask_l = [], []
+    for x, y, yaw in traj:
+        key, k = jax.random.split(key)
+        p, m = sim.scan(SE2.from_xytheta(x, y, yaw), key=k,
+                        noise_sigma=0.02)
+        pts_l.append(np.asarray(p))
+        mask_l.append(np.asarray(m))
+    points = jnp.asarray(np.stack(pts_l), jnp.float32)
+    masks = jnp.asarray(np.stack(mask_l))
+    odoms_perfect = jnp.asarray(traj, jnp.float32)
+    # nav2 default alphas (default.ros2.yaml:6-12: alpha1..alpha4)
+    nav2_alphas = (0.1, 0.05, 0.1, 0.05)
+    motion_nav2 = DifferentialDriveParams(*nav2_alphas)
+    odoms_noisy = jnp.asarray(
+        _noisy_odoms(traj, nav2_alphas, seed + 1), jnp.float32
+    )
+
+    nav2 = dict(
+        min_particles=500, max_particles=2000, resample_interval=1,
+        update_min_d=0.25, update_min_a=0.2, kld_epsilon=0.05, kld_z=3.0,
+        alpha_slow=0.001, alpha_fast=0.1,
+    )
+    lf = lambda: make_likelihood_field_filter(  # noqa: E731
+        grid, motion_params=motion_nav2, recovery_candidates=256
+    )
+    beam = lambda: make_beam_filter(  # noqa: E731
+        grid, motion_params=motion_nav2, use_range_lut=True,
+        recovery_candidates=256,
+    )
+    profiles = [
+        ("nav2-default-lf", lf, dict(nav2), odoms_perfect),
+        ("nav2-selective-lf", lf,
+         dict(nav2, selective_resampling=True), odoms_perfect),
+        ("nav2-default-beam", beam, dict(nav2), odoms_perfect),
+        ("nav2-beam-selective", beam,
+         dict(nav2, selective_resampling=True), odoms_perfect),
+        ("nav2-noisy-odom-lf", lf, dict(nav2), odoms_noisy),
+        ("nav2-noisy-odom-selective", lf,
+         dict(nav2, selective_resampling=True), odoms_noisy),
+    ]
+    rows = []
+    for name, mk, overrides, odoms in profiles:
+        models, ctx = mk()
+        params = AmclParams(**overrides)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        states = sample_normal_se2(
+            k1, params.max_particles, SE2.from_xytheta(*traj[0]),
+            jnp.diag(jnp.asarray([0.06, 0.06, 0.02], jnp.float32)),
+        )
+        state = init_state(k2, states, params)
+        runner = jax.jit(
+            lambda st, o, p, m, params=params, models=models, ctx=ctx:
+            replay_on_device(params, models, ctx, st, o, p, m)
+        )
+        t0 = time.monotonic()
+        _, ests = runner(state, odoms, points, masks)
+        jax.block_until_ready(ests)
+        wall = time.monotonic() - t0
+        valid = np.asarray(ests.valid)
+        est_xyt = np.stack(
+            [
+                np.asarray(ests.pose.x),
+                np.asarray(ests.pose.y),
+                np.arctan2(
+                    np.asarray(ests.pose.rot.z[..., 1]),
+                    np.asarray(ests.pose.rot.z[..., 0]),
+                ),
+            ],
+            -1,
+        )[valid]
+        gt = np.asarray(traj)[valid]
+        report = ape(est_xyt, gt)
+        derr = np.hypot(est_xyt[:, 0] - gt[:, 0], est_xyt[:, 1] - gt[:, 1])
+        yerr = np.abs(np.arctan2(
+            np.sin(est_xyt[:, 2] - gt[:, 2]), np.cos(est_xyt[:, 2] - gt[:, 2])
+        ))
+        gate_ok = bool((derr <= 0.9).all() and (yerr <= np.deg2rad(30)).all())
+        row = dict(profile=name, updates=int(valid.sum()), wall_s=wall,
+                   gate_ok=gate_ok,
+                   **{k: float(v) for k, v in report.items()})
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
+def render_profiles(rows, path, platform, steps):
+    lines = [
+        "",
+        "## Production-config profiles (nav2 operating points)",
+        "",
+        f"- platform: {platform}; {steps}-scan full-length replay "
+        "(60 beams, noise 0.02 m), adaptive KLD 500-2000, motion gating "
+        "0.25 m / 0.2 rad, resample_interval 1, nav2 alphas "
+        "(default.ros2.yaml)",
+        "- gate: per-update pose error <= 0.9 m and <= 30 deg "
+        "(test_system.cpp:133-134)",
+        "- noisy-odom rows replay ACCUMULATED odometry drift "
+        "(Thrun-style noise on every relative motion, nav2 alphas)",
+        "",
+        "| profile | APE rmse (m) | APE max (m) | yaw rmse (rad) | "
+        "updates | 0.9m/30deg gate | replay wall (s) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['profile']} | {r['rmse']:.3f} | {r['max']:.3f} | "
+            f"{r['yaw_rmse']:.3f} | {r['updates']} | "
+            f"{'PASS' if r['gate_ok'] else 'FAIL'} | {r['wall_s']:.1f} |"
+        )
+    text = "\n".join(lines) + "\n"
+    with open(path, "a") as f:
+        f.write(text)
+    return text
+
+
 def render(rows, path, platform, steps):
     lines = [
         "# Accuracy vs particle count (APE, full-length replay)",
@@ -164,17 +350,31 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     ap.add_argument("--out", default="benchmarks/ACCURACY.md")
     ap.add_argument("--json", default="benchmarks/accuracy.json")
+    ap.add_argument("--profiles", action="store_true",
+                    help="run the production-config profile table instead "
+                    "of (or after) the particle-count sweep")
+    ap.add_argument("--profile-steps", type=int, default=958,
+                    help="full-length replay for the profile table "
+                    "(the reference bag's 958 scans)")
+    ap.add_argument("--skip-counts", action="store_true")
     args = ap.parse_args(argv)
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    counts = tuple(int(c) for c in args.counts.split(","))
-    rows = run_sweep(steps=args.steps, counts=counts)
-    with open(args.json, "w") as f:
-        json.dump(rows, f, indent=1)
-    render(rows, args.out, jax.default_backend(), args.steps)
+    if not args.skip_counts:
+        counts = tuple(int(c) for c in args.counts.split(","))
+        rows = run_sweep(steps=args.steps, counts=counts)
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+        render(rows, args.out, jax.default_backend(), args.steps)
+    if args.profiles:
+        prows = run_profiles(steps=args.profile_steps)
+        with open(args.json.replace(".json", "_profiles.json"), "w") as f:
+            json.dump(prows, f, indent=1)
+        render_profiles(prows, args.out, jax.default_backend(),
+                        args.profile_steps)
     print(f"wrote {args.out}")
 
 

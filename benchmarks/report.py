@@ -65,13 +65,31 @@ def _timeit(fn, *args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def _row(name, desc, ms_per_update, particles, extra=None):
+def _mem_mb(jitted, *args):
+    """Per-config device-memory footprint from XLA's own executable
+    accounting (arguments + outputs + temp − aliased), via
+    ``compile().memory_analysis()`` — works on backends whose
+    ``device.memory_stats()`` is empty (the axon remote runtime returns
+    ``{}``), and is per-program rather than process-cumulative."""
+    try:
+        ma = jitted.lower(*args).compile().memory_analysis()
+        tot = (
+            ma.argument_size_in_bytes + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes - ma.alias_size_in_bytes
+        )
+        return round(tot / 2**20, 1)
+    except Exception:  # noqa: BLE001 - AOT path unavailable on backend
+        return None
+
+
+def _row(name, desc, ms_per_update, particles, extra=None, mem_mb=None):
     return {
         "config": name,
         "description": desc,
         "ms_per_update": round(ms_per_update * 1e3, 3),
         "particle_updates_per_s": round(particles / ms_per_update, 1),
         "device_mem": _device_mem(),
+        "device_mem_mb": mem_mb,
         "host_rss_mb": round(_now_rss_mb(), 1),
         **(extra or {}),
     }
@@ -114,8 +132,10 @@ def config_1_node_lf(quick):
         s, _ = forced(s, take0(odoms[2 + i]), pts[2 + i][0], mks[2 + i][0])
     jax.block_until_ready(s)
     d = (time.perf_counter() - t0) / iters
+    mem = _mem_mb(step, s, take0(odoms[0]), pts[0][0], mks[0][0])
     return _row("1-node-lf", "2D MCL likelihood-field + diff-drive, "
-                "2048 particles x 60 beams, single filter", d, n)
+                "2048 particles x 60 beams, single filter", d, n,
+                mem_mb=mem)
 
 
 def config_2_beam_kld(quick):
@@ -150,8 +170,9 @@ def config_2_beam_kld(quick):
         s, _ = step(s, take0(odoms[2 + i]), pts[2 + i][0], mks[2 + i][0])
     jax.block_until_ready(s)
     d = (time.perf_counter() - t0) / iters
+    mem = _mem_mb(step, s, take0(odoms[0]), pts[0][0], mks[0][0])
     return _row("2-beam-kld", "Beam sensor model (CDDT range LUT) + "
-                "adaptive KLD 512-2048, 60 beams", d, n)
+                "adaptive KLD 512-2048, 60 beams", d, n, mem_mb=mem)
 
 
 def config_3_resampling_sweep(quick):
@@ -185,9 +206,11 @@ def config_3_resampling_sweep(quick):
             s, _ = step(ctx, s, odoms[2 + i], pts[2 + i], mks[2 + i])
         jax.block_until_ready(s)
         d = (time.perf_counter() - t0) / iters
+        mem = _mem_mb(step, ctx, s, odoms[0], pts[0], mks[0])
         rows.append(_row(
             f"3-resample-{strategy}",
             f"{strategy} resampling, fleet {batch}x{n}x60", d, batch * n,
+            mem_mb=mem,
         ))
     return rows
 
@@ -234,8 +257,9 @@ def config_4_vdb(quick):
         s, _ = step(s, pts, mask)
     jax.block_until_ready(s)
     d = (time.perf_counter() - t0) / iters
+    mem = _mem_mb(step, s, pts, mask)
     return _row("4-vdb-3d", f"3D VDB-style distance-field likelihood, "
-                f"{n} SE3 particles x 80 points", d, n)
+                f"{n} SE3 particles x 80 points", d, n, mem_mb=mem)
 
 
 def config_5_fleet(quick):
@@ -265,8 +289,115 @@ def config_5_fleet(quick):
         s, _ = step(wctx, s, odoms[3 + i], pts[3 + i], mks[3 + i])
     jax.block_until_ready(s)
     d = (time.perf_counter() - t0) / iters
+    mem = _mem_mb(step, wctx, s, odoms[0], pts[0], mks[0])
     return _row("5-fleet-winlut", f"fleet {batch}x{n}x60, hybrid windowed-"
-                "scan LUT reweight", d, batch * n)
+                "scan LUT reweight", d, batch * n, mem_mb=mem)
+
+
+def config_6_fleet_scale(quick):
+    """#5 at chip scale (BASELINE config #5 is 4096 filters x 50k on a
+    multi-host slice): the single-chip share at 256 filters x 50k
+    particles = 12.8M particles, plus a 4096-filter row at the
+    per-filter N that fits HBM.  Fast path: exact codebook16 reweight —
+    the measured fleet recommendation (the shared-window winlut fleet
+    variant loses to it at the nav2 posterior, REPORT row 5 / NOTES r3;
+    winlut is the MEGA-scale path)."""
+    import jax
+
+    import bench as B
+    from beluga_tpu.filters.amcl import AmclParams
+    from beluga_tpu.filters.builders import make_likelihood_field_filter
+    from beluga_tpu.parallel.fleet import make_fleet_update
+
+    rows = []
+    shapes = [(16, 8192)] if quick else [(256, 51200), (4096, 4096)]
+    for batch, n in shapes:
+        built = B.build(batch, n, 60, grid_size=192,
+                        lookup_mode="codebook16", steps=12)
+        _, ctx, state, odoms, pts, mks, _ = built
+        models, ctx = make_likelihood_field_filter(
+            ctx["grid"], lookup_mode="codebook16", recovery_candidates=256
+        )
+        params = AmclParams(
+            max_particles=n, min_particles=n, sorted_slots=True
+        )
+        step = jax.jit(make_fleet_update(params, models), donate_argnums=(1,))
+        s = state
+        for i in range(2):
+            s, _ = step(ctx, s, odoms[i], pts[i], mks[i])
+        jax.block_until_ready(s)
+        iters = 2 if quick else 4
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s, _ = step(ctx, s, odoms[2 + i], pts[2 + i], mks[2 + i])
+        jax.block_until_ready(s)
+        d = (time.perf_counter() - t0) / iters
+        mem = _mem_mb(step, ctx, s, odoms[0], pts[0], mks[0])
+        rows.append(_row(
+            f"6-fleet-scale-{batch}x{n}",
+            f"fleet {batch}x{n}x60 codebook16 ({batch*n/1e6:.1f}M "
+            f"particles, {1e3/max(d,1e-9)*batch:.0f} filter-updates/s)",
+            d, batch * n, mem_mb=mem,
+            extra={"filters_per_s": round(batch / d, 1)},
+        ))
+        del built, ctx, state, odoms, pts, mks, s
+    return rows
+
+
+def config_7_node_latency(quick):
+    """Live-node per-update latency at nav2's operating point (2000
+    particles, turtlebot3_world, adaptive KLD): p50/p90 for the
+    synchronous node (reference semantics, estimate published per scan,
+    amcl_node.cpp:581-647) and the pipelined node (one-scan-deferred
+    readback — the dispatch round-trip overlaps the next scan's host
+    work).  On remote-tunnel runtimes the synchronous floor is the
+    per-dispatch round-trip (~3-4 ms, irreducible per dispatch); local
+    runtimes only pay it on the readback."""
+    import numpy as np
+
+    from beluga_tpu.io.config import AmclNodeConfig
+    from beluga_tpu.io.replay import ScanSimulator, ScanSpec, drive_trajectory
+    from beluga_tpu.lie import SE2
+    from beluga_tpu.maps.occupancy import load_pgm_yaml
+    from beluga_tpu.node import AmclNode
+
+    yaml = "/root/reference/beluga_example/maps/turtlebot3_world.yaml"
+    grid = load_pgm_yaml(yaml)
+    steps = 24 if quick else 80
+    traj = drive_trajectory(grid, start_xy=(-1.7, 0.5), num_steps=steps,
+                            seed=5)
+    sim = ScanSimulator(grid, ScanSpec(num_beams=60, max_beams=60))
+    scans = [np.asarray(sim.scan(SE2.from_xytheta(x, y, yaw))[0])
+             for x, y, yaw in traj]
+    rows = []
+    for mode, pipelined in (("sync", False), ("pipelined", True)):
+        cfg = AmclNodeConfig(
+            max_particles=2000, min_particles=500, set_initial_pose=True,
+            initial_pose_x=float(traj[0][0]),
+            initial_pose_y=float(traj[0][1]),
+            initial_pose_yaw=float(traj[0][2]),
+        )
+        node = AmclNode(cfg, pipelined=pipelined)
+        node.set_map(grid)
+        lat = []
+        for i, (pose, scan) in enumerate(zip(traj, scans)):
+            r = node.handle_scan(tuple(pose), scan)
+            if i >= 4:  # skip compile + warmup scans
+                lat.append(r.latency_s)
+        if pipelined:
+            node.flush()
+        lat_ms = np.asarray(lat) * 1e3
+        p50, p90 = np.percentile(lat_ms, 50), np.percentile(lat_ms, 90)
+        rows.append(_row(
+            f"7-node-latency-{mode}",
+            f"live node, 2000 particles x 60 beams, turtlebot3_world "
+            f"(p50 {p50:.2f} / p90 {p90:.2f} ms)",
+            p50 * 1e-3, 2000,
+            extra={"p50_ms": round(float(p50), 3),
+                   "p90_ms": round(float(p90), 3),
+                   "updates": len(lat)},
+        ))
+    return rows
 
 
 CONFIGS = {
@@ -275,6 +406,8 @@ CONFIGS = {
     "3": config_3_resampling_sweep,
     "4": config_4_vdb,
     "5": config_5_fleet,
+    "6": config_6_fleet_scale,
+    "7": config_7_node_latency,
 }
 
 
@@ -300,18 +433,23 @@ def render_markdown(rows, meta, compare=None):
         "",
     ]
     hdr = ("| config | description | ms/update | particle-updates/s"
-           " | proc peak HBM (MB, cumulative) | host RSS (MB) |")
+           " | device HBM (MB, XLA accounting) | host RSS (MB) |")
     sep = "|---|---|---|---|---|---|"
     if old:
         hdr += " vs prev |"
         sep += "---|"
     lines += [hdr, sep]
     for r in rows:
-        mem = r.get("device_mem") or {}
-        peak = mem.get("peak_bytes_in_use")
-        peak_s = f"{peak/2**20:.0f}" if peak else "n/a"
+        mem_mb = r.get("device_mem_mb")
+        if mem_mb is None:
+            # allocator stats fallback (absent on the axon remote runtime)
+            mem = r.get("device_mem") or {}
+            peak = mem.get("peak_bytes_in_use")
+            mem_s = f"{peak/2**20:.0f}" if peak else "n/a"
+        else:
+            mem_s = f"{mem_mb:.0f}"
         row = (f"| {r['config']} | {r['description']} | {r['ms_per_update']} "
-               f"| {r['particle_updates_per_s']:.3e} | {peak_s} "
+               f"| {r['particle_updates_per_s']:.3e} | {mem_s} "
                f"| {r['host_rss_mb']} |")
         if old:
             prev = old.get(r["config"])
@@ -346,7 +484,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/REPORT.md")
     ap.add_argument("--json", default="benchmarks/report.json")
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--compare", default=None,
                     help="prior report.json to diff against")

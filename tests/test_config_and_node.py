@@ -331,3 +331,42 @@ class TestLifecycle:
         node.deactivate()
         node.cleanup()
         assert node.lifecycle_state is LifecycleState.UNCONFIGURED
+
+
+class TestPipelinedNode:
+    def test_pipelined_lags_one_scan_and_tracks(self):
+        """pipelined=True: handle_scan enqueues scan t and returns scan
+        t-1's result (first call invalid); flush() harvests the tail.
+        Estimates match the synchronous node's to f32 tolerance (same
+        device programs, same keys)."""
+        from beluga_tpu.io.config import AmclNodeConfig
+        from beluga_tpu.node import AmclNode
+
+        cfg = AmclNodeConfig(
+            max_particles=300, min_particles=50,
+            set_initial_pose=True, initial_pose_x=2.0, initial_pose_y=2.0,
+        )
+        sync_node = AmclNode(cfg)
+        sync_node.set_map(small_world())
+        pipe_node = AmclNode(cfg, pipelined=True)
+        pipe_node.set_map(small_world())
+
+        odoms = [(0.0, 0.0, 0.0), (0.3, 0.0, 0.05), (0.65, 0.02, 0.1),
+                 (1.0, 0.05, 0.12)]
+        sync_res = [
+            sync_node.handle_scan(o, scan_toward_wall()) for o in odoms
+        ]
+        pipe_res = [
+            pipe_node.handle_scan(o, scan_toward_wall()) for o in odoms
+        ]
+        assert not pipe_res[0].valid  # nothing in flight yet
+        tail = pipe_node.flush()
+        chain = pipe_res[1:] + [tail]
+        for s, p in zip(sync_res, chain):
+            assert s.valid == p.valid
+            if s.valid:
+                np.testing.assert_allclose(s.pose, p.pose, atol=1e-5)
+                np.testing.assert_allclose(
+                    s.map_to_odom, p.map_to_odom, atol=1e-5
+                )
+        assert pipe_node.flush() is None

@@ -456,3 +456,35 @@ def test_pointcloud2_fallback_bounds(monkeypatch):
     struct.pack_into("<I", blob, off_pos, 4000)
     with pytest.raises(ValueError):
         native.decode_pointcloud2_cdr(bytes(blob))
+
+
+def test_resample_take_huge_path_weight_concentration(monkeypatch):
+    """r5 fixed-span DMA granules: a chunk whose donor span exceeds one
+    granule (heavy weight concentration — most donors zero-weight) still
+    selects every donor exactly once (the per-block predicates mask
+    granule-window overlap from the clamped DMA starts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beluga_tpu.ops import pallas_resample as pr
+
+    rng = np.random.default_rng(11)
+    n, m, d = 16 * pr._NBLK, 1024, 3
+    # a handful of massive donors scattered across blocks; everything else
+    # carries a tiny weight so position chunks span MANY blocks
+    w = np.full(n, 1e-7, np.float32)
+    heavy = rng.choice(n, 12, replace=False)
+    w[heavy] = rng.random(12).astype(np.float32) + 0.5
+    u = np.sort(rng.random(m).astype(np.float32))
+    vals = (rng.standard_normal((d, n)) * 5).astype(np.float32)
+    args = (jnp.asarray(w), jnp.asarray(u), jnp.asarray(vals))
+    monkeypatch.setattr(pr, "_VMEM_VALS_LIMIT", 1)
+    jax.clear_caches()
+    got = np.asarray(
+        pr.resample_take(*args, interpret=True, chunk=256, nblk=128)
+    )
+    c = jnp.cumsum(jnp.asarray(w))
+    cdf = np.asarray(jax.lax.cummax(c / jnp.maximum(c[-1], 1e-38)))
+    idx = np.clip(np.searchsorted(cdf, u, side="right"), 0, n - 1)
+    np.testing.assert_array_equal(got, vals[:, idx].T)
