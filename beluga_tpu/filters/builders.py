@@ -776,11 +776,18 @@ def make_beam_filter(
         from beluga_tpu.ops.pallas_beam import make_distance_cells
 
         interpret = jax.default_backend() != "tpu"
+        # march budget scaled to the range regime: a beam that exhausts it
+        # silently scores max_range, and 20 steps only cover ~10 m at cm
+        # cells (the 60 m regime diverged at 20, tracks at ~48 —
+        # tests/test_system_long_range.py).  ~2·sqrt(max_cells) covers the
+        # EDT-jump profile of sparse maps with slack.
+        max_cells = beam_params.beam_max_range / res_hint
+        march_steps = int(min(96, max(20, 2.0 * max_cells**0.5)))
 
         def log_weight(ctx, states, points, beam_mask):
             return beam_sphere_trace_log_weights(
                 beam_params, ctx["beam_dist"], ctx["grid"], states, points,
-                beam_mask, interpret=interpret,
+                beam_mask, interpret=interpret, march_steps=march_steps,
             )
 
         ctx = {"grid": grid, "beam_dist": make_distance_cells(grid.free_mask)}

@@ -119,6 +119,7 @@ def beam_sphere_trace_log_weights(
     points: Array,
     beam_mask: Array,
     interpret: bool = False,
+    march_steps: int | None = None,
 ) -> Array:
     """Approximate beam log-weights via the fused sphere-tracing kernel.
 
@@ -127,8 +128,16 @@ def beam_sphere_trace_log_weights(
     gathers, no per-map LUT build; range error ~1 cell (well inside
     ``sigma_hit``).  ``dist_cells`` from
     :func:`beluga_tpu.ops.pallas_beam.make_distance_cells`.
+
+    ``march_steps`` bounds the trace iterations; a beam that exhausts the
+    budget scores max_range.  ``None`` keeps the kernel default (20) —
+    long-range regimes (beam_max_range ≫ 10 m at cm cells) need more
+    (make_beam_filter scales it with max_range / resolution).
     """
-    from beluga_tpu.ops.pallas_beam import sphere_trace_beam_weights
+    from beluga_tpu.ops.pallas_beam import _STEPS, sphere_trace_beam_weights
+
+    if march_steps is None:
+        march_steps = _STEPS
 
     z = jnp.linalg.norm(points, axis=-1)
     bearing = points / jnp.maximum(z, 1e-12)[..., None]
@@ -140,5 +149,6 @@ def beam_sphere_trace_log_weights(
     w = sphere_trace_beam_weights(
         dist_cells, local.x, local.y, local.rot.cos, local.rot.sin,
         bearing, z, beam_mask, grid.resolution, pv, interpret=interpret,
+        march_steps=march_steps,
     )
     return jnp.log(jnp.maximum(w, 1e-30))

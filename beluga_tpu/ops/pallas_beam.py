@@ -38,7 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _TILE = 2048  # particles per program (lane axis)
-_STEPS = 20  # sphere-trace step budget
+# default sphere-trace step budget: sufficient for short/medium-range
+# regimes (<= ~10 m at 0.05 m cells); LONG-range maps need more — a ray
+# nearing an obstacle's EDT basin shrinks to 1-cell jumps, and a beam
+# that exhausts the budget silently scores max_range (measured: the
+# 60 m / 1024-cell regime diverged at 20 steps, tracks at 48 —
+# tests/test_system_long_range.py).  Callers pass ``march_steps``
+# scaled to max_range / resolution.
+_STEPS = 20
 
 
 def _erf(x):
@@ -70,7 +77,8 @@ def make_distance_cells(free_mask: Array) -> Array:
     return (d - 128).astype(jnp.int8)
 
 
-def _make_kernel(h: int, w: int, num_beams: int, int8_path: bool):
+def _make_kernel(h: int, w: int, num_beams: int, int8_path: bool,
+                 march_steps: int = _STEPS):
     def kernel(scalars_ref, beams_ref, tx_ref, ty_ref, cos_ref, sin_ref,
                dist_t_ref, out_ref):
         t = tx_ref.shape[1]
@@ -146,7 +154,9 @@ def _make_kernel(h: int, w: int, num_beams: int, int8_path: bool):
 
             zeros = jnp.zeros((1, t), jnp.float32)
             dist0 = (zeros, zeros, zeros, zeros)
-            _, z_cells, hit, _ = jax.lax.fori_loop(0, _STEPS, step, dist0)
+            _, z_cells, hit, _ = jax.lax.fori_loop(
+                0, march_steps, step, dist0
+            )
             z_mean = jnp.where(hit > 0.0, z_cells * res, max_range)
             z_mean = jnp.minimum(z_mean, max_range)
 
@@ -174,7 +184,7 @@ def _make_kernel(h: int, w: int, num_beams: int, int8_path: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "march_steps"))
 def sphere_trace_beam_weights(
     dist_cells: Array,
     tx: Array,
@@ -187,6 +197,7 @@ def sphere_trace_beam_weights(
     resolution: Array,
     params_vec: Array,
     interpret: bool = False,
+    march_steps: int = _STEPS,
 ) -> Array:
     """``sum_b pz^3`` per particle via sphere-traced expected ranges.
 
@@ -218,7 +229,8 @@ def sphere_trace_beam_weights(
     dist_t = dist_cells.T
     if interpret:
         dist_t = dist_t.astype(jnp.float32)
-    kernel = _make_kernel(h, w, nb, int8_path=not interpret)
+    kernel = _make_kernel(h, w, nb, int8_path=not interpret,
+                          march_steps=march_steps)
 
     out = pl.pallas_call(
         kernel,

@@ -204,8 +204,11 @@ def run_profiles(steps=958, seed=5, num_beams=60):
     lf = lambda: make_likelihood_field_filter(  # noqa: E731
         grid, motion_params=motion_nav2, recovery_candidates=256
     )
+    # beam via the EDT sphere-trace fast path (the range-LUT build
+    # faulted the remote TPU worker at this map size; sphere trace is
+    # also the recommended long-range beam path, REPORT.md)
     beam = lambda: make_beam_filter(  # noqa: E731
-        grid, motion_params=motion_nav2, use_range_lut=True,
+        grid, motion_params=motion_nav2, use_sphere_trace=True,
         recovery_candidates=256,
     )
     profiles = [
