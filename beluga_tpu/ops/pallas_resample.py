@@ -188,6 +188,90 @@ def _make_kernel(chunk: int, nblk: int, d: int):
 # loop is compare-, not DMA-latency-, bound.  The span machinery stays
 # (correct for any span via per-block predicates) with span=1.
 _HUGE_SPAN = 1
+# double-buffer the huge path's per-block DMAs (issue block b+1's copies
+# before computing block b) so transfer latency overlaps the mask+dot
+_HUGE_PIPELINE = True
+
+
+def _make_kernel_huge_pipelined(chunk: int, nblk: int, d: int):
+    """Huge path with 2-slot double buffering: block b+1's three copies
+    (values + cdf + cdf_prev) are issued before block b's compute, hiding
+    per-trip DMA latency behind the [NBLK, C] mask + dot.  Slot = b % 2;
+    every reached iteration b waits exactly the copies issued for b (by
+    the prologue or iteration b-1), so starts and waits stay matched for
+    any dynamic [lob, hib) range."""
+
+    def _kernel(cdf_ref, cdf_prev_ref, u_ref, bounds_ref, vals_ref, out_ref,
+                vblk_ref, cblk_ref, pblk_ref, sem, csem, psem):
+        d3 = vblk_ref.shape[1]
+        m = u_ref.shape[1]
+        n_blocks = cdf_ref.shape[0]
+        bounds = bounds_ref[0, :][None, :]
+
+        def start(b, slot):
+            pltpu.make_async_copy(
+                cdf_ref.at[pl.ds(b, 1)], cblk_ref.at[slot], csem.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                cdf_prev_ref.at[pl.ds(b, 1)], pblk_ref.at[slot],
+                psem.at[slot],
+            ).start()
+            pltpu.make_async_copy(
+                vals_ref.at[:, pl.ds(pl.multiple_of(b * nblk, nblk), nblk)],
+                vblk_ref.at[slot], sem.at[slot],
+            ).start()
+
+        def wait(b, slot):
+            pltpu.make_async_copy(
+                cdf_ref.at[pl.ds(b, 1)], cblk_ref.at[slot], csem.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                cdf_prev_ref.at[pl.ds(b, 1)], pblk_ref.at[slot],
+                psem.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                vals_ref.at[:, pl.ds(pl.multiple_of(b * nblk, nblk), nblk)],
+                vblk_ref.at[slot], sem.at[slot],
+            ).wait()
+
+        def body(c, _):
+            u = u_ref[0, pl.ds(c * chunk, chunk)][None, :]  # [1, C]
+            u_min = jnp.min(u)
+            u_max = jnp.max(u)
+            lob = jnp.sum((bounds < u_min).astype(jnp.int32))
+            hib = jnp.minimum(
+                jnp.sum((bounds <= u_max).astype(jnp.int32)) + 1, n_blocks
+            )
+            start(lob, jax.lax.rem(lob, 2))  # prologue ([lob, hib) nonempty)
+
+            def nblock(b, acc):
+                slot = jax.lax.rem(b, 2)
+                nxt = b + 1
+
+                @pl.when(nxt < hib)
+                def _():
+                    start(nxt, jax.lax.rem(nxt, 2))
+
+                wait(b, slot)
+                cdf_b = cblk_ref[slot, 0, 0, :][:, None]
+                prev_b = pblk_ref[slot, 0, 0, :][:, None]
+                # no is_last clause: u < 1.0 = cdf[n_real-1] strictly
+                mask = (u >= prev_b) & (u < cdf_b)  # [NBLK, C]
+                vals_b = vblk_ref[slot]
+                return acc + jnp.dot(
+                    vals_b, mask.astype(vals_b.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+
+            picked = jax.lax.fori_loop(
+                lob, hib, nblock, jnp.zeros((d3, chunk), jnp.float32)
+            )  # [3D, C]
+            out_ref[:, pl.ds(c * chunk, chunk)] = _sum3(picked, d, out_ref.shape[0])
+            return 0
+
+        jax.lax.fori_loop(0, m // chunk, body, 0)
+
+    return _kernel
 
 
 def _make_kernel_huge(chunk: int, nblk: int, d: int):
@@ -370,11 +454,26 @@ def resample_take(
     # padding only grows the table further past the limit
     if small:
         kernel = _make_kernel_small(chunk, d)
+    elif huge and _HUGE_PIPELINE and _HUGE_SPAN == 1:
+        kernel = _make_kernel_huge_pipelined(chunk, nblk, d)
     elif huge:
         kernel = _make_kernel_huge(chunk, nblk, d)
     else:
         kernel = _make_kernel(chunk, nblk, d)
-    if huge:
+    pipelined = huge and _HUGE_PIPELINE and _HUGE_SPAN == 1
+    if pipelined:
+        cdf_in = cdf.reshape(n_blocks, 1, nblk)
+        prev_in = cdf_prev.reshape(n_blocks, 1, nblk)
+        cdf_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((2, d3_pad, nblk), vals3.dtype),
+            pltpu.VMEM((2, 1, 1, nblk), jnp.float32),
+            pltpu.VMEM((2, 1, 1, nblk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif huge:
         cdf_in = cdf.reshape(n_blocks, 1, nblk)
         prev_in = cdf_prev.reshape(n_blocks, 1, nblk)
         cdf_spec = pl.BlockSpec(memory_space=pl.ANY)

@@ -83,11 +83,14 @@ def _mem_mb(jitted, *args):
 
 
 def _row(name, desc, ms_per_update, particles, extra=None, mem_mb=None):
+    timed = ms_per_update == ms_per_update and ms_per_update is not None
     return {
         "config": name,
         "description": desc,
-        "ms_per_update": round(ms_per_update * 1e3, 3),
-        "particle_updates_per_s": round(particles / ms_per_update, 1),
+        "ms_per_update": round(ms_per_update * 1e3, 3) if timed else None,
+        "particle_updates_per_s": (
+            round(particles / ms_per_update, 1) if timed else None
+        ),
         "device_mem": _device_mem(),
         "device_mem_mb": mem_mb,
         "host_rss_mb": round(_now_rss_mb(), 1),
@@ -400,6 +403,51 @@ def config_7_node_latency(quick):
     return rows
 
 
+def config_8_memory_curve(quick):
+    """Device-memory vs particle count for the flagship mega step — the
+    reference's RSS-vs-N axis (timem_results.py:28-60, RSS plots in
+    beluga_benchmark/docs/reports/).  XLA executable accounting
+    (memory_analysis) per N; programs are compiled, not executed."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    import bench as B
+    from beluga_tpu.filters.amcl import AmclParams, update
+    from beluga_tpu.filters.builders import make_windowed_scan_filter
+
+    rows = []
+    counts = (1 << 18,) if quick else (1 << 18, 1 << 20, 1 << 21, 1 << 22)
+    for n in counts:
+        built = B.build(1, n, 60, steps=4)
+        _, ctx_b, state, odoms, pts, mks, _ = built
+        models, ctx = make_windowed_scan_filter(
+            ctx_b["grid"], k_bins=32, win=(32, 128),
+            dth=2.0 * np.pi / 64.0, max_point_radius=3.6, tile=512,
+            tblk=20, recovery_candidates=256, coverage_threshold=0.0,
+            exact_tail_frac=0.0, fused=True,
+        )
+        params = AmclParams(
+            max_particles=n, min_particles=n, sorted_slots=True,
+            resampling="systematic", recovery_pool=4096,
+            selective_resampling=True,
+        )
+        take0 = lambda t: jax.tree_util.tree_map(lambda l: l[0], t)  # noqa: E731
+        s = take0(state)
+        step = jax.jit(functools.partial(update, params, models))
+        mem = _mem_mb(step, ctx, s, take0(odoms[0]), pts[0][0], mks[0][0])
+        rows.append(_row(
+            f"8-memory-{n}",
+            f"flagship mega step at {n} particles (compile-time XLA "
+            "accounting; particle state is "
+            f"{n * 4 * 4 / 2**20:.0f} MB)",
+            float("nan"), n, mem_mb=mem,
+        ))
+        del built, ctx_b, state, s
+    return rows
+
+
 CONFIGS = {
     "1": config_1_node_lf,
     "2": config_2_beam_kld,
@@ -408,6 +456,7 @@ CONFIGS = {
     "5": config_5_fleet,
     "6": config_6_fleet_scale,
     "7": config_7_node_latency,
+    "8": config_8_memory_curve,
 }
 
 
@@ -448,8 +497,11 @@ def render_markdown(rows, meta, compare=None):
             mem_s = f"{peak/2**20:.0f}" if peak else "n/a"
         else:
             mem_s = f"{mem_mb:.0f}"
-        row = (f"| {r['config']} | {r['description']} | {r['ms_per_update']} "
-               f"| {r['particle_updates_per_s']:.3e} | {mem_s} "
+        ups = r.get("particle_updates_per_s")
+        ups_s = f"{ups:.3e}" if ups else "—"
+        ms_s = r["ms_per_update"] if r.get("ms_per_update") is not None else "—"
+        row = (f"| {r['config']} | {r['description']} | {ms_s} "
+               f"| {ups_s} | {mem_s} "
                f"| {r['host_rss_mb']} |")
         if old:
             prev = old.get(r["config"])
@@ -484,7 +536,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/REPORT.md")
     ap.add_argument("--json", default="benchmarks/report.json")
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--compare", default=None,
                     help="prior report.json to diff against")
