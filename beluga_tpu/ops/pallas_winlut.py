@@ -11,12 +11,15 @@ Serialized gathers run at ~5e7 rows/s on v5e regardless of table size
 (NOTES.md), so the read rides the MXU instead, with the same one-hot
 pattern as ops/pallas_reweight.py:
 
-    rows[x, p]  = Σ_j  L_T[t_lo+j, x, :] @ ohy_j      (bf16 MXU)
-    val[p]      = Σ_x (xi_p == x) · rows[x, p]        (VPU select)
+    rows[x, p]  = Σ_j  w_j(p) · (L_T[t_lo+j, x, :] @ tent_y)   (bf16 MXU)
+    val[p]      = Σ_x (xi_p == x) · rows[x, p]                 (VPU select)
 
-where ``ohy_j[y, p] = (yi_p == y) · w_j(p)`` carries BOTH the y one-hot
-and the θ-lerp weight ``w_j = (1-a)·[k₀=j] + a·[k₀=j-1]`` — the two
-θ-neighbor reads cost one matmul series, not two.
+where ``tent_y[y, p] = relu(1 - |y_p - y|)`` is the slab-shared y
+one-hot/lerp (built and converted once per tile) and the θ-lerp weight
+``w_j = (1-a)·[k₀=j] + a·[k₀=j-1]`` scales the [Wx, p] dot OUTPUT at f32
+— the two θ-neighbor reads cost one matmul series, not two, and the
+per-slab VPU work is a [Wx, p] scale-accumulate instead of a [Wy, p]
+one-hot build (4x less at Wy=128/Wx=32).
 
 Each lane tile of ``tile`` particles reads its θ-slab base ``t_lo`` from
 SMEM (precomputed per tile in XLA as the clamped floor of the tile's min
@@ -96,8 +99,18 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
         # NOTES.md r4.  Per-slab pl.when predication is worse still
         # (stalls the slab-load pipeline: 24.6 vs 16.9 ms/step e2e).
         span = tlo_ref[0, 0, 1]
-        acc_dtype = jnp.int32 if int8_table else jnp.float32
-        acc_ref[...] = jnp.zeros((wx, p), acc_dtype)
+        # θ-weight applied to the [Wx, P] dot OUTPUT, not the [Wy, P]
+        # one-hot input: per-slab VPU work drops from a [Wy, P]
+        # multiply+convert (the old ``ohy = wj * tent_y`` build) to a
+        # [Wx, P] scale-accumulate (4x less at Wy=128/Wx=32), the shared
+        # tent_y quantizes once, and wj multiplies at f32 instead of
+        # being rounded into the one-hot (strictly more accurate —
+        # notably the int8 path no longer quantizes the θ-lerp at all).
+        tent_yq = (
+            jnp.round(tent_y * 127.0).astype(jnp.int8)
+            if int8_table else tent_y.astype(vals_ref.dtype)
+        )
+        acc_ref[...] = jnp.zeros((wx, p), jnp.float32)
 
         def slab_dot(j, carry):
             # θ-lerp tent: (1-a)·[k₀rel=j] + a·[k₀rel=j-1] == relu(1-|u-j|)
@@ -105,18 +118,16 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
             slab = vals_ref[pl.ds(t_lo + j, 1)][0]  # [Wx, Wy]
             if int8_table:
                 # int8 x int8 -> int32 rides the MXU at 2x the bf16 rate;
-                # the one-hot carries BOTH lerp weights quantized to 1/127
-                # (<= 0.4% of full scale — below the bf16 table's own
-                # mantissa granularity).  The combined table+one-hot scale
-                # (scale / 127) is applied once after the x-select.
-                ohy = jnp.round(wj * tent_y * 127.0).astype(jnp.int8)
-                acc_ref[...] += jax.lax.dot(
-                    slab, ohy, preferred_element_type=jnp.int32
-                )
+                # the y-tent quantizes to 1/127 (<= 0.4% of full scale —
+                # below the bf16 table's own mantissa granularity).  The
+                # combined table+one-hot scale (scale / 127) is applied
+                # once after the x-select.
+                acc_ref[...] += wj * jax.lax.dot(
+                    slab, tent_yq, preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
             else:
-                ohy = (wj * tent_y).astype(vals_ref.dtype)
-                acc_ref[...] += jax.lax.dot(
-                    slab, ohy, preferred_element_type=jnp.float32
+                acc_ref[...] += wj * jax.lax.dot(
+                    slab, tent_yq, preferred_element_type=jnp.float32
                 )
             return carry
 
@@ -128,7 +139,7 @@ def _make_kernel(k_bins: int, wx: int, wy: int, tblk: int,
         wx_sel = jnp.maximum(1.0 - jnp.abs(xf - iota_x), 0.0)
         acc = acc_ref[...]
         if int8_table:
-            acc = acc.astype(jnp.float32) * (scale * (1.0 / 127.0))
+            acc = acc * (scale * (1.0 / 127.0))
         val = jnp.sum(wx_sel * acc, axis=0, keepdims=True)
 
         valid = (
@@ -247,9 +258,7 @@ def winlut_lookup(
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((wx, tile), jnp.int32 if int8_table else jnp.float32)
-        ],
+        scratch_shapes=[pltpu.VMEM((wx, tile), jnp.float32)],
         interpret=interpret,
     )(scal, t_lo, xi_p, yi_p, t_p, vals)
     return out[0, :n]

@@ -277,7 +277,9 @@ class WinlutMega:
         models_w, self.ctx_w = make_windowed_scan_filter(
             ctx_b["grid"], k_bins=32, win=(32, 128),
             dth=2.0 * np.pi / 64.0, max_point_radius=3.6,
-            tile=512, tblk=20, recovery_candidates=256,
+            tile=int(os.environ.get("BENCH_TILE", "512")),
+            tblk=int(os.environ.get("BENCH_TBLK", "20")),
+            recovery_candidates=256,
             coverage_threshold=0.0, exact_tail_frac=0.0, fused=True,
         )
         self.params = params = AmclParams(
@@ -292,7 +294,8 @@ class WinlutMega:
         tmap = jax.tree_util.tree_map
         self._t0f = t0f = lambda t: tmap(lambda l: l[0], t)  # noqa: E731
         self.state0 = t0f(state)
-        self.sub = sub = 8  # static sort schedule: sort on sub-step 0
+        # static sort schedule: sort on sub-step 0
+        self.sub = sub = int(os.environ.get("BENCH_SORT_SUB", "8"))
         assert k_scan % sub == 0
 
         def scan_all(ctx, st, od, p, m):

@@ -82,6 +82,23 @@ def _mem_mb(jitted, *args):
         return None
 
 
+def _mem_detail(jitted, *args):
+    """Like _mem_mb but broken out (args/outputs/temp/aliased MB) — the
+    temp column shows which N regimes compile extra scratch (e.g. a
+    resample-take layout change)."""
+    try:
+        ma = jitted.lower(*args).compile().memory_analysis()
+        mb = lambda b: round(b / 2**20, 1)  # noqa: E731
+        return {
+            "arg_mb": mb(ma.argument_size_in_bytes),
+            "out_mb": mb(ma.output_size_in_bytes),
+            "temp_mb": mb(ma.temp_size_in_bytes),
+            "alias_mb": mb(ma.alias_size_in_bytes),
+        }
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _row(name, desc, ms_per_update, particles, extra=None, mem_mb=None):
     timed = ms_per_update == ms_per_update and ms_per_update is not None
     return {
@@ -436,13 +453,15 @@ def config_8_memory_curve(quick):
         take0 = lambda t: jax.tree_util.tree_map(lambda l: l[0], t)  # noqa: E731
         s = take0(state)
         step = jax.jit(functools.partial(update, params, models))
-        mem = _mem_mb(step, ctx, s, take0(odoms[0]), pts[0][0], mks[0][0])
+        sargs = (ctx, s, take0(odoms[0]), pts[0][0], mks[0][0])
+        mem = _mem_mb(step, *sargs)
         rows.append(_row(
             f"8-memory-{n}",
             f"flagship mega step at {n} particles (compile-time XLA "
             "accounting; particle state is "
             f"{n * 4 * 4 / 2**20:.0f} MB)",
             float("nan"), n, mem_mb=mem,
+            extra=_mem_detail(step, *sargs),
         ))
         del built, ctx_b, state, s
     return rows
@@ -600,10 +619,13 @@ def render_plot(rows, compare, path):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # memory-only rows (config 8) have no throughput — skip them
+    rows = [r for r in rows if r.get("particle_updates_per_s") is not None]
     names = [r["config"] for r in rows]
     vals = [r["particle_updates_per_s"] for r in rows]
     old = {r["config"]: r["particle_updates_per_s"]
-           for r in (compare or {}).get("rows", [])}
+           for r in (compare or {}).get("rows", [])
+           if r.get("particle_updates_per_s") is not None}
     fig, ax = plt.subplots(figsize=(9, 0.5 * len(rows) + 1.6))
     y = range(len(rows))
     ax.barh(y, vals, color="#3f7cac", label="this run")

@@ -153,7 +153,7 @@ def test_mega_resampling_strategies_track(world, mesh, strategy):
     assert err < 0.5, f"{strategy}: err={err:.3f}"
 
 
-def _winlut_world(grid):
+def _winlut_world(grid, **kw):
     """Flagship-config models: windowed scan LUT, gate-free hybrid, sized
     for the small test map (the BENCH headline configuration's structure)."""
     from beluga_tpu.filters.builders import make_windowed_scan_filter
@@ -161,7 +161,7 @@ def _winlut_world(grid):
     return make_windowed_scan_filter(
         grid, k_bins=32, win=(32, 128), max_point_radius=6.5, tile=128,
         tblk=12, coverage_threshold=0.0, exact_tail_frac=0.0,
-        recovery_candidates=64,
+        recovery_candidates=64, **kw,
     )
 
 
@@ -173,11 +173,12 @@ def _sorted_states(key, n, pose, cov):
 
 
 def test_mega_flagship_winlut_sorted_slots_tracks(world, mesh):
-    """The BENCH headline configuration — winlut reweight + sorted_slots +
+    """The BENCH headline configuration — FUSED forward kernel (one
+    Pallas pass: propagate + coords + winlut + log) + sorted_slots +
     sort_interval + bounded recovery pool + selective resampling — runs
     SHARDED (shard-local theta sort, VERDICT r4 #1) and tracks."""
     grid, _, _ = world
-    models, ctx = _winlut_world(grid)
+    models, ctx = _winlut_world(grid, fused=True)
     params = AmclParams(
         max_particles=1024, min_particles=1024, sorted_slots=True,
         resampling="systematic", recovery_pool=64,
