@@ -71,6 +71,12 @@ def _setup_jax():
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # rbg PRNG for the measurement child: 0.31 ms/step cheaper than
+    # threefry at 2M (7.61 -> 7.30 ms/step, identical tracking accuracy —
+    # NOTES r5 session 2).  RNG parity is statistical (SURVEY.md §7.3);
+    # tests/test_winlut.py::test_fused_filter_tracks_with_rbg_keys covers
+    # the rbg-keyed filter loop on CPU.
+    jax.config.update("jax_default_prng_impl", "rbg")
     return jax
 
 
@@ -245,7 +251,7 @@ class WinlutMega:
     ~40-60 s) Mosaic compile can overlap the pending sync switch —
     VERDICT r3 #1: pay the readback switch concurrently with warmup."""
 
-    def __init__(self, jax, n_mega=None, k_scan=96, reps=3):
+    def __init__(self, jax, n_mega=None, k_scan=192, reps=3):
         import jax.numpy as jnp
 
         from beluga_tpu.filters.amcl import AmclParams, update
@@ -277,7 +283,10 @@ class WinlutMega:
         models_w, self.ctx_w = make_windowed_scan_filter(
             ctx_b["grid"], k_bins=32, win=(32, 128),
             dth=2.0 * np.pi / 64.0, max_point_radius=3.6,
-            tile=int(os.environ.get("BENCH_TILE", "512")),
+            # tile=4096: the r5 session-2 ladder (8.57 -> 7.61 ms/step at
+            # 2M going 512 -> 4096; 8192 is flat) — big tiles amortize the
+            # per-program fixed costs of the fused kernel's grid
+            tile=int(os.environ.get("BENCH_TILE", "4096")),
             tblk=int(os.environ.get("BENCH_TBLK", "20")),
             recovery_candidates=256,
             coverage_threshold=0.0, exact_tail_frac=0.0, fused=True,

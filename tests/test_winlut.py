@@ -320,3 +320,52 @@ def test_fused_step_coverage_gate_falls_back(setup):
     # most values to one constant
     vals, counts = np.unique(np.round(np.asarray(ll), 5), return_counts=True)
     assert counts.max() < 128, "fallback did not engage (miss plateau)"
+
+
+def test_fused_filter_tracks_with_rbg_keys(setup):
+    """The full fused-flagship update runs with an ``rbg``-typed PRNG key
+    (the bench primary switches ``jax_default_prng_impl`` to rbg — a
+    measured 0.3 ms/step saving over threefry at 2M; NOTES r5 session 2).
+    RNG parity is statistical (SURVEY.md §7.3): the filter must track the
+    same world with either implementation."""
+    from beluga_tpu.filters.amcl import AmclParams, init_state, update
+    from beluga_tpu.filters.builders import make_windowed_scan_filter
+    from beluga_tpu.io.replay import ScanSimulator, ScanSpec
+    from beluga_tpu.maps.occupancy import OCCUPIED_VALUE as OCC, make_grid as mk
+    import functools
+
+    data = np.zeros((64, 64), np.int8)
+    data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = OCC
+    data[25:30, 40:45] = OCC
+    data[45:48, 12:18] = OCC
+    grid = mk(data, 0.1)
+    models, ctx = make_windowed_scan_filter(
+        grid, k_bins=32, win=(32, 128), max_point_radius=6.5, tile=128,
+        tblk=12, coverage_threshold=0.0, exact_tail_frac=0.0, fused=True,
+        recovery_candidates=64,
+    )
+    params = AmclParams(
+        max_particles=512, min_particles=512, sorted_slots=True,
+        resampling="systematic", recovery_pool=16,
+        selective_resampling=True, sort_interval=2,
+        update_min_d=0.0, update_min_a=0.0,
+    )
+    from beluga_tpu.core.random import sample_normal_se2
+
+    key = jax.random.key(7, impl="rbg")
+    k1, k2 = jax.random.split(key)
+    pose = SE2.from_xytheta(*CENTER)
+    states = sample_normal_se2(k1, 512, pose, jnp.eye(3) * 0.04)
+    state = init_state(k2, states, params)
+    sim = ScanSimulator(grid, ScanSpec(num_beams=24, max_beams=24))
+    pts, mask = sim.scan(pose)
+    step = jax.jit(functools.partial(update, params, models),
+                   static_argnames=("sort_now",))
+    for i in range(6):
+        state = state._replace(force_update=jnp.asarray(True))
+        state, est = step(ctx, state, SE2.identity(), pts, mask,
+                          sort_now=(i % 2 == 0))
+    assert np.isfinite(np.asarray(state.particles.log_weight)).all()
+    err = np.hypot(float(est.pose.x) - CENTER[0],
+                   float(est.pose.y) - CENTER[1])
+    assert err < 0.3, f"rbg-keyed filter drifted: {err}"
