@@ -43,7 +43,7 @@ from beluga_tpu.core.random import sample_normal_se2, sample_uniform_free_cells
 from beluga_tpu.filters import amcl as amcl_filter
 from beluga_tpu.filters.builders import make_likelihood_field_filter
 from beluga_tpu.io.config import AmclNodeConfig
-from beluga_tpu.lie import SE2
+from beluga_tpu.lie import SE2, SO2
 from beluga_tpu.maps.occupancy import OccupancyGrid
 
 
@@ -154,9 +154,36 @@ class AmclNode(BaseLifecycleNode):
         self._grid = grid
         self._first_map_set = True
         if rebuild or self._step is None:
-            self._step = jax.jit(
-                functools.partial(amcl_filter.update, self.params, self._models)
-            )
+            # packed-IO wrapper: the per-scan inputs travel as ONE f32
+            # vector ([odom x,y,yaw | pts flat | mask]) and the estimate
+            # returns as one f32[13] ([pose 0:3 | cov 3:12 | valid 12]).
+            # On synchronous remote runtimes every separate host array is
+            # its own blocking tunnel roundtrip (~3-4 ms); packing cut the
+            # live-node p50 from ~28 to the 2-3 roundtrip floor
+            # (REPORT.md config 7).
+            params, models = self.params, self._models
+
+            def packed_step(ctx, state, packed):
+                beams = (packed.shape[0] - 3) // 3
+                yaw_o = packed[2]
+                odom = SE2(
+                    packed[0:2],
+                    SO2(jnp.stack([jnp.cos(yaw_o), jnp.sin(yaw_o)])),
+                )
+                pts = packed[3 : 3 + 2 * beams].reshape(beams, 2)
+                mask = packed[3 + 2 * beams :] > 0.5
+                state, est = amcl_filter.update(
+                    params, models, ctx, state, odom, pts, mask
+                )
+                yaw = jnp.arctan2(est.pose.rot.z[1], est.pose.rot.z[0])
+                out = jnp.concatenate([
+                    jnp.stack([est.pose.x, est.pose.y, yaw]),
+                    est.covariance.reshape(-1),
+                    est.valid.astype(jnp.float32)[None],
+                ])
+                return state, out
+
+            self._step = jax.jit(packed_step)
 
         # initialize / re-initialize particles (amcl_node.cpp:484-497):
         # a retained estimate takes precedence over the configured initial
@@ -239,12 +266,22 @@ class AmclNode(BaseLifecycleNode):
             return ScanResult(False, None, None, None, 0.0)
         assert self._state is not None, "node not initialized (set_map first)"
         t0 = time.perf_counter()
-        odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
-        pts = jnp.asarray(points, jnp.float32)
+        # build the step input HOST-side as ONE packed f32 vector: every
+        # separate host array (odom, pts, mask) is its own h2d transfer,
+        # and on synchronous remote runtimes each pays the full ~3-4 ms
+        # tunnel roundtrip; likewise the estimate returns as one f32[13]
+        # (REPORT.md config 7: p50 44 -> ~13 ms at the nav2 config)
+        ox, oy, oth = (float(v) for v in np.asarray(odom_pose_xytheta))
+        pts = np.asarray(points, np.float32)
         mask = (
-            jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
+            np.ones(pts.shape[0], np.float32)
+            if point_mask is None
+            else np.asarray(point_mask, np.float32)
         )
-        self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
+        packed = np.concatenate(
+            [np.asarray([ox, oy, oth], np.float32), pts.ravel(), mask]
+        )
+        self._state, est = self._step(self._ctx, self._state, packed)
         if self.pipelined:
             # enqueue-only: harvest the PREVIOUS scan's estimate (computed
             # during the inter-scan gap) and leave this one in flight
@@ -255,9 +292,9 @@ class AmclNode(BaseLifecycleNode):
                 )
             est_prev, odom_prev = prev
             return self._finalize(
-                jax.device_get(est_prev), odom_prev, t0, mask
+                np.asarray(jax.device_get(est_prev)), odom_prev, t0, mask
             )
-        est = jax.device_get(est)
+        est = np.asarray(jax.device_get(est))
         return self._finalize(est, odom_pose_xytheta, t0, mask)
 
     def flush(self) -> ScanResult | None:
@@ -266,17 +303,19 @@ class AmclNode(BaseLifecycleNode):
             return None
         t0 = time.perf_counter()
         (est, odom_prev), self._pending = self._pending, None
-        return self._finalize(jax.device_get(est), odom_prev, t0, None)
+        return self._finalize(
+            np.asarray(jax.device_get(est)), odom_prev, t0, None
+        )
 
-    def _finalize(self, est, odom_pose_xytheta, t0, mask) -> ScanResult:
+    def _finalize(self, est_vec, odom_pose_xytheta, t0, mask) -> ScanResult:
+        # est_vec: packed f32[13] = [pose x,y,yaw | covariance row-major |
+        # valid] (see packed_step in set_map)
         latency = time.perf_counter() - t0
-        if not bool(est.valid):
+        if not est_vec[12] > 0.5:
             return ScanResult(False, None, None, None, latency)
 
-        pose = np.array(
-            [float(est.pose.x), float(est.pose.y), float(np.arctan2(est.pose.rot.z[1], est.pose.rot.z[0]))]
-        )
-        cov = np.asarray(est.covariance)
+        pose = np.asarray(est_vec[0:3], np.float64)
+        cov = np.asarray(est_vec[3:12], np.float64).reshape(3, 3)
         self.last_known_estimate = (pose, cov)
         if self.verbose and mask is not None:
             # per-update log line, like amcl_node.cpp:612-615
