@@ -20,7 +20,7 @@ from beluga_tpu.core.random import sample_normal_se2, sample_normal_se3
 from beluga_tpu.filters import amcl as amcl_filter
 from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d, make_ndt_filter_3d
 from beluga_tpu.io.config import AmclNodeConfig
-from beluga_tpu.lie import SE2, SE3, SO3
+from beluga_tpu.lie import SE2, SE3, SO2, SO3
 from beluga_tpu.maps.ndt import load_ndt_hdf5
 from beluga_tpu.models.sensor.ndt import NdtModelParams
 from beluga_tpu.node import ScanResult
@@ -77,9 +77,7 @@ class NdtAmclNode(BaseLifecycleNode):
     def set_map(self, ndt_map) -> None:
         assert ndt_map.dim == self.dim, f"expected a {self.dim}D NDT map"
         self._models, self._ctx = self._build(ndt_map)
-        self._step = jax.jit(
-            functools.partial(amcl_filter.update, self.params, self._models)
-        )
+        self._step = jax.jit(self._make_packed_step())
         if self._state is None:
             if self.last_known_estimate is not None:
                 # estimate retention across cleanup -> reconfigure
@@ -129,6 +127,34 @@ class NdtAmclNode(BaseLifecycleNode):
 
     # -- updates -------------------------------------------------------------
 
+    def _make_packed_step(self):
+        """Packed-IO update (same rationale as node.py handle_scan: one
+        h2d vector in, one small f32 vector out — each separate host
+        array is its own blocking tunnel roundtrip in sync mode)."""
+        params, models = self.params, self._models
+
+        def packed_step(ctx, state, packed):
+            pts_n = (packed.shape[0] - 3) // 3
+            yaw_o = packed[2]
+            odom = SE2(
+                packed[0:2],
+                SO2(jnp.stack([jnp.cos(yaw_o), jnp.sin(yaw_o)])),
+            )
+            pts = packed[3 : 3 + 2 * pts_n].reshape(pts_n, 2)
+            mask = packed[3 + 2 * pts_n :] > 0.5
+            state, est = amcl_filter.update(
+                params, models, ctx, state, odom, pts, mask
+            )
+            yaw = jnp.arctan2(est.pose.rot.z[1], est.pose.rot.z[0])
+            out = jnp.concatenate([
+                jnp.stack([est.pose.x, est.pose.y, yaw]),
+                est.covariance.reshape(-1),
+                est.valid.astype(jnp.float32)[None],
+            ])
+            return state, out
+
+        return packed_step
+
     def handle_point_cloud(self, odom_pose_xytheta, points, point_mask=None) -> ScanResult:
         """One update from ``(odom pose (x, y, yaw), 2D points [P, 2])``."""
         if not self.is_active:
@@ -137,19 +163,21 @@ class NdtAmclNode(BaseLifecycleNode):
             return ScanResult(False, None, None, None, 0.0)
         assert self._state is not None, "set_map first"
         t0 = time.perf_counter()
-        odom = SE2.from_xytheta(*np.asarray(odom_pose_xytheta, np.float64))
-        pts = jnp.asarray(points, jnp.float32)
-        mask = jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
-        self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
-        est = jax.device_get(est)
-        latency = time.perf_counter() - t0
-        if not bool(est.valid):
-            return ScanResult(False, None, None, None, latency)
-        pose = np.array(
-            [float(est.pose.x), float(est.pose.y),
-             float(np.arctan2(est.pose.rot.z[1], est.pose.rot.z[0]))]
+        pts = np.asarray(points, np.float32)
+        mask = (
+            np.ones(pts.shape[0], np.float32)
+            if point_mask is None else np.asarray(point_mask, np.float32)
         )
-        cov = np.asarray(est.covariance)
+        packed = np.concatenate(
+            [np.asarray(odom_pose_xytheta, np.float32), pts.ravel(), mask]
+        )
+        self._state, est = self._step(self._ctx, self._state, packed)
+        est = np.asarray(jax.device_get(est))
+        latency = time.perf_counter() - t0
+        if not est[12] > 0.5:
+            return ScanResult(False, None, None, None, latency)
+        pose = np.asarray(est[0:3], np.float64)
+        cov = np.asarray(est[3:12], np.float64).reshape(3, 3)
         self.last_known_estimate = (pose, cov)
         return ScanResult(True, pose, cov, None, latency)
 
@@ -185,6 +213,34 @@ class NdtAmclNode3D(NdtAmclNode):
         # stored 3D estimate vector is (x, y, z, roll, pitch, yaw)
         self.set_initial_pose(pose[:3], pose[3:6], covariance)
 
+    def _make_packed_step(self):
+        """SE3 packed-IO update: in = [x,y,z,roll,pitch,yaw | pts flat |
+        mask]; out = f32[43] = [xyz 0:3 | rpy 3:6 | cov 6x6 row-major
+        6:42 | valid 42]."""
+        params, models = self.params, self._models
+
+        def packed_step(ctx, state, packed):
+            pts_n = (packed.shape[0] - 6) // 4
+            odom = SE3(
+                packed[0:3],
+                SO3.from_rpy(packed[3], packed[4], packed[5]),
+            )
+            pts = packed[6 : 6 + 3 * pts_n].reshape(pts_n, 3)
+            mask = packed[6 + 3 * pts_n :] > 0.5
+            state, est = amcl_filter.update(
+                params, models, ctx, state, odom, pts, mask
+            )
+            r, p, yw = est.pose.rot.rpy()
+            out = jnp.concatenate([
+                est.pose.xyz,
+                jnp.stack([r, p, yw]),
+                est.covariance.reshape(-1),
+                est.valid.astype(jnp.float32)[None],
+            ])
+            return state, out
+
+        return packed_step
+
     def handle_point_cloud(self, odom_pose, points, point_mask=None) -> ScanResult:
         """One update; ``odom_pose`` is (x, y, z, roll, pitch, yaw)."""
         if not self.is_active:
@@ -193,20 +249,20 @@ class NdtAmclNode3D(NdtAmclNode):
             return ScanResult(False, None, None, None, 0.0)
         assert self._state is not None, "set_map first"
         t0 = time.perf_counter()
-        x, y, z, roll, pitch, yaw = (float(v) for v in odom_pose)
-        odom = SE3(
-            jnp.asarray(np.array([x, y, z], np.float32)),
-            SO3.from_rpy(jnp.float32(roll), jnp.float32(pitch), jnp.float32(yaw)),
+        pts = np.asarray(points, np.float32)
+        mask = (
+            np.ones(pts.shape[0], np.float32)
+            if point_mask is None else np.asarray(point_mask, np.float32)
         )
-        pts = jnp.asarray(points, jnp.float32)
-        mask = jnp.ones(pts.shape[0], bool) if point_mask is None else jnp.asarray(point_mask)
-        self._state, est = self._step(self._ctx, self._state, odom, pts, mask)
-        est = jax.device_get(est)
+        packed = np.concatenate(
+            [np.asarray(odom_pose, np.float32), pts.ravel(), mask]
+        )
+        self._state, est = self._step(self._ctx, self._state, packed)
+        est = np.asarray(jax.device_get(est))
         latency = time.perf_counter() - t0
-        if not bool(est.valid):
+        if not est[42] > 0.5:
             return ScanResult(False, None, None, None, latency)
-        r, p, yw = (np.asarray(v) for v in jax.tree_util.tree_map(np.asarray, est.pose.rot.rpy()))
-        pose = np.concatenate([np.asarray(est.pose.xyz), [float(r), float(p), float(yw)]])
-        cov = np.asarray(est.covariance)
+        pose = np.asarray(est[0:6], np.float64)
+        cov = np.asarray(est[6:42], np.float64).reshape(6, 6)
         self.last_known_estimate = (pose, cov)
         return ScanResult(True, pose, cov, None, latency)
