@@ -271,17 +271,21 @@ class WinlutMega:
         #   * fused=True: ONE Pallas pass does propagate + window coords +
         #     theta-slab lookup + weight log (ops/pallas_fused_step.py) —
         #     no [N]-sized intermediates between XLA fusions;
-        #   * (32, 128) window + dth = 2pi/64 (32 theta bins, wider lerp):
-        #     4x less lookup MXU work than r4's (64, 128) @ 2pi/128 at
-        #     BETTER measured tracking accuracy (0.068/0.096 vs
-        #     0.100/0.206 err mean/max at 1M);
+        #   * (32, 128) window + dth = 2pi/64 (wider lerp): 4x less
+        #     lookup MXU work than r4's (64, 128) @ 2pi/128 at BETTER
+        #     measured tracking accuracy (0.068/0.096 vs 0.100/0.206 err
+        #     mean/max at 1M);
+        #   * k_bins=20 (= tblk: the slab covers the whole LUT, 112 deg
+        #     of relative theta range): 0.625x the LUT build cost of
+        #     k_bins=32 — 7.14 -> 6.98 ms/step at 2M, err unchanged
+        #     (session-2 D-ladder); k_bins=24 was the runner-up;
         #   * tblk=20 + 8-sub-step sort schedule: the coarser bins halve
         #     the per-step theta diffusion in bin units, so half the sorts
         #     cover the same slab slack;
         #   * int8 window tables measured SLOWER (kept opt-in only).
         # r3 16.9 -> r4 6.9 -> r5 4.5 ms/step at 1M (2M amortizes better).
         models_w, self.ctx_w = make_windowed_scan_filter(
-            ctx_b["grid"], k_bins=32, win=(32, 128),
+            ctx_b["grid"], k_bins=20, win=(32, 128),
             dth=2.0 * np.pi / 64.0, max_point_radius=3.6,
             # tile=4096: the r5 session-2 ladder (8.57 -> 7.61 ms/step at
             # 2M going 512 -> 4096; 8192 is flat) — big tiles amortize the

@@ -457,7 +457,7 @@ def config_8_memory_curve(quick):
         built = B.build(1, n, 60, steps=4)
         _, ctx_b, state, odoms, pts, mks, _ = built
         models, ctx = make_windowed_scan_filter(
-            ctx_b["grid"], k_bins=32, win=(32, 128),
+            ctx_b["grid"], k_bins=20, win=(32, 128),
             dth=2.0 * np.pi / 64.0, max_point_radius=3.6, tile=4096,
             tblk=20, recovery_candidates=256, coverage_threshold=0.0,
             exact_tail_frac=0.0, fused=True,
