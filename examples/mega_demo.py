@@ -58,10 +58,15 @@ def main():
     masks = jnp.asarray(np.stack(mask_l)).reshape(steps // sub, sub, 60)
     odoms = jnp.asarray(traj, jnp.float32).reshape(steps // sub, sub, 3)
 
+    # the r5 flagship geometry (bench.py WinlutMega; REPORT_EXTRA.md
+    # ladders): fused forward kernel, (32, 128) window at dth = 2pi/64,
+    # k_bins = tblk = 20 (the theta slab spans the whole LUT), 4096-lane
+    # tiles
     models, ctx = make_windowed_scan_filter(
-        grid, k_bins=64, win=(64, 128), max_point_radius=3.6,
-        tile=512, tblk=24, recovery_candidates=256,
-        coverage_threshold=0.0, exact_tail_frac=0.0,
+        grid, k_bins=20, win=(32, 128), dth=2.0 * np.pi / 64.0,
+        max_point_radius=3.6, tile=4096 if on_tpu else 512, tblk=20,
+        recovery_candidates=256,
+        coverage_threshold=0.0, exact_tail_frac=0.0, fused=True,
     )
     params = AmclParams(
         max_particles=n, min_particles=n, sorted_slots=True,
