@@ -9,7 +9,6 @@ estimate-based Gaussian recovery generator, like the reference NDT nodes.
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
@@ -20,7 +19,7 @@ from beluga_tpu.core.random import sample_normal_se2, sample_normal_se3
 from beluga_tpu.filters import amcl as amcl_filter
 from beluga_tpu.filters.ndt_builders import make_ndt_filter_2d, make_ndt_filter_3d
 from beluga_tpu.io.config import AmclNodeConfig
-from beluga_tpu.lie import SE2, SE3, SO2, SO3
+from beluga_tpu.lie import SE2, SE3, SO3
 from beluga_tpu.maps.ndt import load_ndt_hdf5
 from beluga_tpu.models.sensor.ndt import NdtModelParams
 from beluga_tpu.node import ScanResult
@@ -128,58 +127,45 @@ class NdtAmclNode(BaseLifecycleNode):
     # -- updates -------------------------------------------------------------
 
     def _make_packed_step(self):
-        """Packed-IO update (same rationale as node.py handle_scan: one
-        h2d vector in, one small f32 vector out — each separate host
-        array is its own blocking tunnel roundtrip in sync mode)."""
-        params, models = self.params, self._models
+        """Packed-IO update — the shared SE2 protocol from node.py (one
+        h2d vector in, one f32[EST2_LEN] estimate out)."""
+        from beluga_tpu.node import make_packed_step_se2
 
-        def packed_step(ctx, state, packed):
-            pts_n = (packed.shape[0] - 3) // 3
-            yaw_o = packed[2]
-            odom = SE2(
-                packed[0:2],
-                SO2(jnp.stack([jnp.cos(yaw_o), jnp.sin(yaw_o)])),
-            )
-            pts = packed[3 : 3 + 2 * pts_n].reshape(pts_n, 2)
-            mask = packed[3 + 2 * pts_n :] > 0.5
-            state, est = amcl_filter.update(
-                params, models, ctx, state, odom, pts, mask
-            )
-            yaw = jnp.arctan2(est.pose.rot.z[1], est.pose.rot.z[0])
-            out = jnp.concatenate([
-                jnp.stack([est.pose.x, est.pose.y, yaw]),
-                est.covariance.reshape(-1),
-                est.valid.astype(jnp.float32)[None],
-            ])
-            return state, out
-
-        return packed_step
+        return make_packed_step_se2(self.params, self._models)
 
     def handle_point_cloud(self, odom_pose_xytheta, points, point_mask=None) -> ScanResult:
         """One update from ``(odom pose (x, y, yaw), 2D points [P, 2])``."""
+        from beluga_tpu.node import (
+            EST2_COV,
+            EST2_POSE,
+            EST2_VALID,
+            pack_scan_input,
+        )
+
         if not self.is_active:
             # drop before the state assertion (lifecycle contract: clouds
             # arriving after deactivate/cleanup are dropped, not errors)
             return ScanResult(False, None, None, None, 0.0)
         assert self._state is not None, "set_map first"
         t0 = time.perf_counter()
-        pts = np.asarray(points, np.float32)
-        mask = (
-            np.ones(pts.shape[0], np.float32)
-            if point_mask is None else np.asarray(point_mask, np.float32)
-        )
-        packed = np.concatenate(
-            [np.asarray(odom_pose_xytheta, np.float32), pts.ravel(), mask]
-        )
+        packed = pack_scan_input(odom_pose_xytheta, points, point_mask)
         self._state, est = self._step(self._ctx, self._state, packed)
         est = np.asarray(jax.device_get(est))
         latency = time.perf_counter() - t0
-        if not est[12] > 0.5:
+        if not est[EST2_VALID] > 0.5:
             return ScanResult(False, None, None, None, latency)
-        pose = np.asarray(est[0:3], np.float64)
-        cov = np.asarray(est[3:12], np.float64).reshape(3, 3)
+        pose = np.asarray(est[EST2_POSE], np.float64)
+        cov = np.asarray(est[EST2_COV], np.float64).reshape(3, 3)
         self.last_known_estimate = (pose, cov)
         return ScanResult(True, pose, cov, None, latency)
+
+
+# SE3 packed-estimate layout (producer: NdtAmclNode3D._make_packed_step;
+# consumer: its handle_point_cloud)
+_EST3_POSE = slice(0, 6)  # x, y, z, roll, pitch, yaw
+_EST3_COV = slice(6, 42)  # 6x6 row-major
+_EST3_VALID = 42
+_EST3_LEN = 43
 
 
 class NdtAmclNode3D(NdtAmclNode):
@@ -215,8 +201,7 @@ class NdtAmclNode3D(NdtAmclNode):
 
     def _make_packed_step(self):
         """SE3 packed-IO update: in = [x,y,z,roll,pitch,yaw | pts flat |
-        mask]; out = f32[43] = [xyz 0:3 | rpy 3:6 | cov 6x6 row-major
-        6:42 | valid 42]."""
+        mask]; out = f32[_EST3_LEN] (layout constants below)."""
         params, models = self.params, self._models
 
         def packed_step(ctx, state, packed):
@@ -254,15 +239,20 @@ class NdtAmclNode3D(NdtAmclNode):
             np.ones(pts.shape[0], np.float32)
             if point_mask is None else np.asarray(point_mask, np.float32)
         )
+        if mask.shape[0] != pts.shape[0]:
+            raise ValueError(
+                f"point_mask length {mask.shape[0]} != point count "
+                f"{pts.shape[0]}"
+            )
         packed = np.concatenate(
-            [np.asarray(odom_pose, np.float32), pts.ravel(), mask]
+            [np.asarray(odom_pose, np.float32).reshape(6), pts.ravel(), mask]
         )
         self._state, est = self._step(self._ctx, self._state, packed)
         est = np.asarray(jax.device_get(est))
         latency = time.perf_counter() - t0
-        if not est[42] > 0.5:
+        if not est[_EST3_VALID] > 0.5:
             return ScanResult(False, None, None, None, latency)
-        pose = np.asarray(est[0:6], np.float64)
-        cov = np.asarray(est[6:42], np.float64).reshape(6, 6)
+        pose = np.asarray(est[_EST3_POSE], np.float64)
+        cov = np.asarray(est[_EST3_COV], np.float64).reshape(6, 6)
         self.last_known_estimate = (pose, cov)
         return ScanResult(True, pose, cov, None, latency)

@@ -31,9 +31,7 @@ dropped (subscriptions exist only when active in the reference).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +43,66 @@ from beluga_tpu.filters.builders import make_likelihood_field_filter
 from beluga_tpu.io.config import AmclNodeConfig
 from beluga_tpu.lie import SE2, SO2
 from beluga_tpu.maps.occupancy import OccupancyGrid
+
+# -- packed per-scan IO protocol (SE2 nodes) --------------------------------
+#
+# The per-scan inputs travel as ONE f32 vector ``[odom x,y,yaw | pts flat |
+# mask]`` and the estimate returns as one f32[13]; each separate host array
+# is its own blocking tunnel roundtrip on synchronous remote runtimes
+# (2.7-31 ms measured — NOTES.md r5 session 2), so the node pays exactly
+# one h2d and one d2h per scan.  Layout constants are shared by the packer
+# (pack_scan_input), the jitted step (make_packed_step_se2), and the
+# unpacker (_finalize / NdtAmclNode.handle_point_cloud).
+EST2_POSE = slice(0, 3)  # x, y, yaw
+EST2_COV = slice(3, 12)  # 3x3 row-major
+EST2_VALID = 12
+EST2_LEN = 13
+
+
+def pack_scan_input(odom_pose_xytheta, points, point_mask=None) -> np.ndarray:
+    """Host-side build of the packed step input; validates that the mask
+    length matches the point count (a mismatch would otherwise silently
+    re-partition the vector into garbage points/mask)."""
+    pts = np.asarray(points, np.float32)
+    mask = (
+        np.ones(pts.shape[0], np.float32)
+        if point_mask is None
+        else np.asarray(point_mask, np.float32)
+    )
+    if mask.shape[0] != pts.shape[0]:
+        raise ValueError(
+            f"point_mask length {mask.shape[0]} != point count {pts.shape[0]}"
+        )
+    return np.concatenate(
+        [np.asarray(odom_pose_xytheta, np.float32).reshape(3), pts.ravel(),
+         mask]
+    )
+
+
+def make_packed_step_se2(params, models):
+    """The jitted packed-IO update for SE2 nodes (AmclNode + 2D NDT)."""
+
+    def packed_step(ctx, state, packed):
+        beams = (packed.shape[0] - 3) // 3
+        yaw_o = packed[2]
+        odom = SE2(
+            packed[0:2],
+            SO2(jnp.stack([jnp.cos(yaw_o), jnp.sin(yaw_o)])),
+        )
+        pts = packed[3 : 3 + 2 * beams].reshape(beams, 2)
+        mask = packed[3 + 2 * beams :] > 0.5
+        state, est = amcl_filter.update(
+            params, models, ctx, state, odom, pts, mask
+        )
+        yaw = jnp.arctan2(est.pose.rot.z[1], est.pose.rot.z[0])
+        out = jnp.concatenate([
+            jnp.stack([est.pose.x, est.pose.y, yaw]),
+            est.covariance.reshape(-1),
+            est.valid.astype(jnp.float32)[None],
+        ])
+        return state, out
+
+    return packed_step
 
 
 @dataclasses.dataclass
@@ -154,36 +212,9 @@ class AmclNode(BaseLifecycleNode):
         self._grid = grid
         self._first_map_set = True
         if rebuild or self._step is None:
-            # packed-IO wrapper: the per-scan inputs travel as ONE f32
-            # vector ([odom x,y,yaw | pts flat | mask]) and the estimate
-            # returns as one f32[13] ([pose 0:3 | cov 3:12 | valid 12]).
-            # On synchronous remote runtimes every separate host array is
-            # its own blocking tunnel roundtrip (~3-4 ms); packing cut the
-            # live-node p50 from ~28 to the 2-3 roundtrip floor
-            # (REPORT.md config 7).
-            params, models = self.params, self._models
-
-            def packed_step(ctx, state, packed):
-                beams = (packed.shape[0] - 3) // 3
-                yaw_o = packed[2]
-                odom = SE2(
-                    packed[0:2],
-                    SO2(jnp.stack([jnp.cos(yaw_o), jnp.sin(yaw_o)])),
-                )
-                pts = packed[3 : 3 + 2 * beams].reshape(beams, 2)
-                mask = packed[3 + 2 * beams :] > 0.5
-                state, est = amcl_filter.update(
-                    params, models, ctx, state, odom, pts, mask
-                )
-                yaw = jnp.arctan2(est.pose.rot.z[1], est.pose.rot.z[0])
-                out = jnp.concatenate([
-                    jnp.stack([est.pose.x, est.pose.y, yaw]),
-                    est.covariance.reshape(-1),
-                    est.valid.astype(jnp.float32)[None],
-                ])
-                return state, out
-
-            self._step = jax.jit(packed_step)
+            self._step = jax.jit(
+                make_packed_step_se2(self.params, self._models)
+            )
 
         # initialize / re-initialize particles (amcl_node.cpp:484-497):
         # a retained estimate takes precedence over the configured initial
@@ -266,21 +297,8 @@ class AmclNode(BaseLifecycleNode):
             return ScanResult(False, None, None, None, 0.0)
         assert self._state is not None, "node not initialized (set_map first)"
         t0 = time.perf_counter()
-        # build the step input HOST-side as ONE packed f32 vector: every
-        # separate host array (odom, pts, mask) is its own h2d transfer,
-        # and on synchronous remote runtimes each pays the full ~3-4 ms
-        # tunnel roundtrip; likewise the estimate returns as one f32[13]
-        # (REPORT.md config 7: p50 44 -> ~13 ms at the nav2 config)
-        ox, oy, oth = (float(v) for v in np.asarray(odom_pose_xytheta))
-        pts = np.asarray(points, np.float32)
-        mask = (
-            np.ones(pts.shape[0], np.float32)
-            if point_mask is None
-            else np.asarray(point_mask, np.float32)
-        )
-        packed = np.concatenate(
-            [np.asarray([ox, oy, oth], np.float32), pts.ravel(), mask]
-        )
+        packed = pack_scan_input(odom_pose_xytheta, points, point_mask)
+        mask = packed[3 + 2 * ((packed.shape[0] - 3) // 3) :]
         self._state, est = self._step(self._ctx, self._state, packed)
         if self.pipelined:
             # enqueue-only: harvest the PREVIOUS scan's estimate (computed
@@ -308,14 +326,13 @@ class AmclNode(BaseLifecycleNode):
         )
 
     def _finalize(self, est_vec, odom_pose_xytheta, t0, mask) -> ScanResult:
-        # est_vec: packed f32[13] = [pose x,y,yaw | covariance row-major |
-        # valid] (see packed_step in set_map)
+        # est_vec: packed f32[EST2_LEN] (layout constants at module top)
         latency = time.perf_counter() - t0
-        if not est_vec[12] > 0.5:
+        if not est_vec[EST2_VALID] > 0.5:
             return ScanResult(False, None, None, None, latency)
 
-        pose = np.asarray(est_vec[0:3], np.float64)
-        cov = np.asarray(est_vec[3:12], np.float64).reshape(3, 3)
+        pose = np.asarray(est_vec[EST2_POSE], np.float64)
+        cov = np.asarray(est_vec[EST2_COV], np.float64).reshape(3, 3)
         self.last_known_estimate = (pose, cov)
         if self.verbose and mask is not None:
             # per-update log line, like amcl_node.cpp:612-615

@@ -246,7 +246,9 @@ class Runner:
 
 class WinlutMega:
     """Scan-driven mega winlut filter (1 x n_mega x BEAMS, gate-free
-    hybrid, tile=512/tblk=16 — the drift-tested config) with a tracking
+    hybrid; the r5 flagship geometry — fused forward kernel, (32, 128)
+    window, k_bins=tblk=20, tile=4096, K=192 steps/dispatch — each knob
+    A/B-measured in-step, REPORT_EXTRA.md ladders) with a tracking
     accuracy gate.  Split into warm() and measure() so the (expensive,
     ~40-60 s) Mosaic compile can overlap the pending sync switch —
     VERDICT r3 #1: pay the readback switch concurrently with warmup."""

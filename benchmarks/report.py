@@ -83,20 +83,25 @@ def _mem_mb(jitted, *args):
 
 
 def _mem_detail(jitted, *args):
-    """Like _mem_mb but broken out (args/outputs/temp/aliased MB) — the
-    temp column shows which N regimes compile extra scratch (e.g. a
-    resample-take layout change)."""
+    """Like _mem_mb but returns ``(total_mb, breakout_dict)`` from ONE
+    AOT compile (the flagship step compiles in ~40-60 s on TPU — don't
+    pay it twice).  The temp column shows which N regimes compile extra
+    scratch (e.g. a resample-take layout change)."""
     try:
         ma = jitted.lower(*args).compile().memory_analysis()
         mb = lambda b: round(b / 2**20, 1)  # noqa: E731
-        return {
+        tot = (
+            ma.argument_size_in_bytes + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes - ma.alias_size_in_bytes
+        )
+        return mb(tot), {
             "arg_mb": mb(ma.argument_size_in_bytes),
             "out_mb": mb(ma.output_size_in_bytes),
             "temp_mb": mb(ma.temp_size_in_bytes),
             "alias_mb": mb(ma.alias_size_in_bytes),
         }
     except Exception:  # noqa: BLE001
-        return None
+        return None, None
 
 
 def _row(name, desc, ms_per_update, particles, extra=None, mem_mb=None):
@@ -471,14 +476,14 @@ def config_8_memory_curve(quick):
         s = take0(state)
         step = jax.jit(functools.partial(update, params, models))
         sargs = (ctx, s, take0(odoms[0]), pts[0][0], mks[0][0])
-        mem = _mem_mb(step, *sargs)
+        mem, detail = _mem_detail(step, *sargs)
         rows.append(_row(
             f"8-memory-{n}",
             f"flagship mega step at {n} particles (compile-time XLA "
             "accounting; particle state is "
             f"{n * 4 * 4 / 2**20:.0f} MB)",
             float("nan"), n, mem_mb=mem,
-            extra=_mem_detail(step, *sargs),
+            extra=detail,
         ))
         del built, ctx_b, state, s
     return rows
@@ -541,7 +546,10 @@ def render_markdown(rows, meta, compare=None):
                f"| {r['host_rss_mb']} |")
         if old:
             prev = old.get(r["config"])
-            if prev:
+            # memory-only rows (config 8) have null ms_per_update on
+            # either side — show "new"/blank rather than dividing None
+            if (prev and prev.get("ms_per_update") is not None
+                    and r.get("ms_per_update") is not None):
                 ratio = prev["ms_per_update"] / max(r["ms_per_update"], 1e-9)
                 row += f" {ratio:.2f}x |"
             else:
